@@ -1,0 +1,302 @@
+"""Mesh file IO: PLY (ascii + binary) and OBJ parsing, numpy only.
+
+The reference leans on trimesh (rigid_mesh_database.py:52-130); that package is
+not part of this framework's dependency set, so we ship our own minimal,
+fast loaders. A C++ fast path (happypose_tpu/csrc) accelerates large binary
+PLYs; this module is the always-available fallback and the reference
+implementation for its tests.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Optional, Union
+
+import numpy as np
+
+
+@dataclass
+class Mesh:
+    """A triangle mesh with optional vertex colors (float RGB in [0, 1])."""
+
+    vertices: np.ndarray  # [V, 3] float32
+    faces: np.ndarray  # [F, 3] int32
+    vertex_colors: Optional[np.ndarray] = None  # [V, 3] float32 in [0,1]
+    vertex_normals_: Optional[np.ndarray] = field(default=None, repr=False)
+
+    @property
+    def diameter(self) -> float:
+        """Max pairwise vertex distance (exact for small, AABB-corner bound
+        refined by extremal-point search for large meshes)."""
+        v = self.vertices
+        if len(v) <= 2048:
+            d2 = ((v[:, None, :] - v[None, :, :]) ** 2).sum(-1)
+            return float(np.sqrt(d2.max()))
+        # convex-extremes approximation: diameter is attained on the convex
+        # hull; use the 26-direction extremal subset which is exact in practice
+        dirs = np.array(
+            [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)
+             if (i, j, k) != (0, 0, 0)],
+            dtype=np.float32,
+        )
+        idx = np.unique(np.argmax(v @ dirs.T, axis=0))
+        ext = v[idx]
+        d2 = ((ext[:, None, :] - ext[None, :, :]) ** 2).sum(-1)
+        return float(np.sqrt(d2.max()))
+
+    @property
+    def vertex_normals(self) -> np.ndarray:
+        """Area-weighted vertex normals [V, 3]."""
+        if self.vertex_normals_ is None:
+            v, f = self.vertices, self.faces
+            fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+            vn = np.zeros_like(v)
+            for k in range(3):
+                np.add.at(vn, f[:, k], fn)
+            norm = np.linalg.norm(vn, axis=-1, keepdims=True)
+            self.vertex_normals_ = (vn / np.maximum(norm, 1e-12)).astype(np.float32)
+        return self.vertex_normals_
+
+    def scaled(self, scale: float) -> "Mesh":
+        return Mesh(
+            vertices=(self.vertices * scale).astype(np.float32),
+            faces=self.faces,
+            vertex_colors=self.vertex_colors,
+        )
+
+    @property
+    def aabb(self) -> np.ndarray:
+        """8 corner points of the axis-aligned bounding box, [8, 3]."""
+        lo = self.vertices.min(0)
+        hi = self.vertices.max(0)
+        return np.array(
+            [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
+             for z in (lo[2], hi[2])],
+            dtype=np.float32,
+        )
+
+
+_PLY_DTYPES: Dict[str, str] = {
+    "char": "i1", "int8": "i1",
+    "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2",
+    "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4",
+    "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4",
+    "double": "f8", "float64": "f8",
+}
+
+
+def load_ply(path: Union[str, Path]) -> Mesh:
+    """Parse ascii or binary-little/big-endian PLY."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if not data.startswith(b"ply"):
+        raise ValueError(f"not a PLY file: {path}")
+    header_end = data.find(b"end_header")
+    if header_end < 0:
+        raise ValueError("PLY missing end_header")
+    header = data[:header_end].decode("ascii", errors="replace").splitlines()
+    body_start = data.find(b"\n", header_end) + 1
+
+    fmt = None
+    elements = []  # list of (name, count, [(prop_name, dtype)|('list', count_dt, item_dt, name)])
+    cur = None
+    for line in header:
+        tok = line.strip().split()
+        if not tok:
+            continue
+        if tok[0] == "format":
+            fmt = tok[1]
+        elif tok[0] == "element":
+            cur = {"name": tok[1], "count": int(tok[2]), "props": []}
+            elements.append(cur)
+        elif tok[0] == "property" and cur is not None:
+            if tok[1] == "list":
+                cur["props"].append(("list", _PLY_DTYPES[tok[2]], _PLY_DTYPES[tok[3]], tok[4]))
+            else:
+                cur["props"].append((tok[2], _PLY_DTYPES[tok[1]]))
+
+    verts = faces = colors = None
+    if fmt == "ascii":
+        text = data[body_start:].decode("ascii", errors="replace").split("\n")
+        li = 0
+        for el in elements:
+            rows = []
+            for _ in range(el["count"]):
+                while not text[li].strip():
+                    li += 1
+                rows.append(text[li].strip().split())
+                li += 1
+            if el["name"] == "vertex":
+                names = [p[0] for p in el["props"]]
+                arr = np.array(rows, dtype=np.float64)
+                ix = [names.index(c) for c in ("x", "y", "z")]
+                verts = arr[:, ix].astype(np.float32)
+                if all(c in names for c in ("red", "green", "blue")):
+                    ic = [names.index(c) for c in ("red", "green", "blue")]
+                    colors = (arr[:, ic] / 255.0).astype(np.float32)
+            elif el["name"] == "face":
+                faces = np.array([r[1:4] for r in rows], dtype=np.int32)
+    else:
+        endian = "<" if "little" in fmt else ">"
+        off = body_start
+        for el in elements:
+            has_list = any(p[0] == "list" for p in el["props"])
+            if not has_list:
+                dt = np.dtype([(p[0], endian + p[1]) for p in el["props"]])
+                arr = np.frombuffer(data, dtype=dt, count=el["count"], offset=off)
+                off += dt.itemsize * el["count"]
+                if el["name"] == "vertex":
+                    verts = np.stack(
+                        [arr["x"], arr["y"], arr["z"]], axis=-1
+                    ).astype(np.float32)
+                    if all(c in arr.dtype.names for c in ("red", "green", "blue")):
+                        colors = np.stack(
+                            [arr["red"], arr["green"], arr["blue"]], axis=-1
+                        ).astype(np.float32) / 255.0
+            else:
+                # faces: parse row by row (counts may vary; triangulate fans)
+                rows = []
+                for _ in range(el["count"]):
+                    row_vals = []
+                    for p in el["props"]:
+                        if p[0] == "list":
+                            cnt_dt = np.dtype(endian + p[1])
+                            n = int(np.frombuffer(data, cnt_dt, 1, off)[0])
+                            off += cnt_dt.itemsize
+                            item_dt = np.dtype(endian + p[2])
+                            vals = np.frombuffer(data, item_dt, n, off)
+                            off += item_dt.itemsize * n
+                            row_vals.append(vals)
+                        else:
+                            dt = np.dtype(endian + p[1])
+                            row_vals.append(np.frombuffer(data, dt, 1, off)[0])
+                            off += dt.itemsize
+                    rows.append(row_vals)
+                if el["name"] == "face":
+                    tri = []
+                    for row in rows:
+                        idxs = row[0]
+                        for k in range(1, len(idxs) - 1):
+                            tri.append((idxs[0], idxs[k], idxs[k + 1]))
+                    faces = np.array(tri, dtype=np.int32)
+    if verts is None:
+        raise ValueError(f"PLY has no vertex element: {path}")
+    if faces is None:
+        faces = np.zeros((0, 3), np.int32)
+    return Mesh(vertices=verts, faces=faces, vertex_colors=colors)
+
+
+def load_obj(path: Union[str, Path]) -> Mesh:
+    """Minimal OBJ loader (v / f lines, fan-triangulated)."""
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            tok = line.split()
+            if not tok:
+                continue
+            if tok[0] == "v":
+                verts.append([float(x) for x in tok[1:4]])
+            elif tok[0] == "f":
+                idx = [int(t.split("/")[0]) - 1 for t in tok[1:]]
+                for k in range(1, len(idx) - 1):
+                    faces.append((idx[0], idx[k], idx[k + 1]))
+    return Mesh(
+        vertices=np.asarray(verts, np.float32),
+        faces=np.asarray(faces, np.int32) if faces else np.zeros((0, 3), np.int32),
+    )
+
+
+def save_ply(path: Union[str, Path], mesh: Mesh) -> None:
+    """Write binary little-endian PLY (with colors if present)."""
+    v, f = mesh.vertices, mesh.faces
+    has_c = mesh.vertex_colors is not None
+    with open(path, "wb") as fh:
+        hdr = ["ply", "format binary_little_endian 1.0",
+               f"element vertex {len(v)}",
+               "property float x", "property float y", "property float z"]
+        if has_c:
+            hdr += ["property uchar red", "property uchar green", "property uchar blue"]
+        hdr += [f"element face {len(f)}",
+                "property list uchar int vertex_indices", "end_header", ""]
+        fh.write("\n".join(hdr).encode())
+        if has_c:
+            c8 = np.clip(mesh.vertex_colors * 255.0, 0, 255).astype(np.uint8)
+            dt = np.dtype([("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                           ("r", "u1"), ("g", "u1"), ("b", "u1")])
+            arr = np.empty(len(v), dtype=dt)
+            arr["x"], arr["y"], arr["z"] = v[:, 0], v[:, 1], v[:, 2]
+            arr["r"], arr["g"], arr["b"] = c8[:, 0], c8[:, 1], c8[:, 2]
+        else:
+            arr = v.astype("<f4")
+        fh.write(arr.tobytes())
+        fdt = np.dtype([("n", "u1"), ("a", "<i4"), ("b", "<i4"), ("c", "<i4")])
+        farr = np.empty(len(f), dtype=fdt)
+        farr["n"] = 3
+        farr["a"], farr["b"], farr["c"] = f[:, 0], f[:, 1], f[:, 2]
+        fh.write(farr.tobytes())
+
+
+def load_mesh(path: Union[str, Path]) -> Mesh:
+    path = Path(path)
+    suffix = path.suffix.lower()
+    if suffix == ".ply":
+        return load_ply(path)
+    if suffix == ".obj":
+        return load_obj(path)
+    raise ValueError(f"unsupported mesh format: {path}")
+
+
+def make_box_mesh(half_extents=(0.05, 0.05, 0.05)) -> Mesh:
+    """Axis-aligned box; test/debug asset."""
+    hx, hy, hz = half_extents
+    v = np.array(
+        [[sx * hx, sy * hy, sz * hz]
+         for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        np.float32,
+    )
+    # 12 triangles, outward-facing (CCW seen from outside)
+    f = np.array(
+        [
+            [0, 1, 3], [0, 3, 2],  # -x
+            [4, 6, 7], [4, 7, 5],  # +x
+            [0, 4, 5], [0, 5, 1],  # -y
+            [2, 3, 7], [2, 7, 6],  # +y
+            [0, 2, 6], [0, 6, 4],  # -z
+            [1, 5, 7], [1, 7, 3],  # +z
+        ],
+        np.int32,
+    )
+    colors = np.tile(np.array([[0.7, 0.2, 0.2]], np.float32), (8, 1))
+    return Mesh(vertices=v, faces=f, vertex_colors=colors)
+
+
+def make_uv_sphere(radius=0.05, n_lat=16, n_lon=24, color=(0.2, 0.6, 0.3)) -> Mesh:
+    """UV sphere; test/debug asset."""
+    vs, fs = [], []
+    for i in range(n_lat + 1):
+        theta = np.pi * i / n_lat
+        for j in range(n_lon):
+            phi = 2 * np.pi * j / n_lon
+            vs.append(
+                [radius * np.sin(theta) * np.cos(phi),
+                 radius * np.sin(theta) * np.sin(phi),
+                 radius * np.cos(theta)]
+            )
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            fs += [[a, c, b], [b, c, d]]
+    v = np.asarray(vs, np.float32)
+    return Mesh(
+        vertices=v,
+        faces=np.asarray(fs, np.int32),
+        vertex_colors=np.tile(np.asarray([color], np.float32), (len(v), 1)),
+    )

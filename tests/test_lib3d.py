@@ -1,0 +1,349 @@
+"""Unit tests for happypose_tpu.lib3d — numeric oracles are independent
+numpy/scipy derivations (the reference uses pinocchio/transforms3d as oracle;
+we use scipy.spatial.transform)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation as ScipyRot
+
+from happypose_tpu.lib3d import (
+    rotmat_from_ortho6d,
+    quat_to_rotmat,
+    rotmat_to_quat,
+    axis_angle_to_rotmat,
+    euler_to_rotmat,
+    geodesic_distance,
+    transform_pts,
+    invert_transforms,
+    make_T,
+    pose9d_to_T,
+    normalize_T,
+    project_points,
+    project_points_robust,
+    boxes_from_uv,
+    get_K_crop_resize,
+    TCO_init_from_boxes,
+    TCO_init_from_boxes_zup_autodepth,
+    pose_update_with_reference_point,
+    compute_ADD_L1_loss,
+    dists_add_symmetric,
+    symmetric_distance_batched,
+    make_symmetries_poses,
+    DiscreteSymmetry,
+    ContinuousSymmetry,
+)
+from happypose_tpu.lib3d.rotations import log_SE3_norm
+
+
+def random_rotations(n, seed=0):
+    return ScipyRot.random(n, random_state=seed).as_matrix().astype(np.float32)
+
+
+def random_T(n, seed=0):
+    R = random_rotations(n, seed)
+    t = np.random.RandomState(seed).uniform(-1, 1, (n, 3)).astype(np.float32)
+    T = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    T[:, :3, :3] = R
+    T[:, :3, 3] = t
+    return T
+
+
+class TestRotations:
+    def test_ortho6d_is_rotation(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (32, 6))
+        R = rotmat_from_ortho6d(x)
+        eye = jnp.eye(3)
+        np.testing.assert_allclose(
+            np.asarray(jnp.matmul(jnp.swapaxes(R, -1, -2), R)),
+            np.tile(eye, (32, 1, 1)),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(np.linalg.det(np.asarray(R)), 1.0, atol=1e-5)
+
+    def test_ortho6d_recovers_rotation(self):
+        # feeding the first two columns of R must reproduce R
+        R = random_rotations(16)
+        six = np.concatenate([R[:, :, 0], R[:, :, 1]], axis=-1)
+        R2 = rotmat_from_ortho6d(jnp.asarray(six))
+        np.testing.assert_allclose(np.asarray(R2), R, atol=1e-5)
+
+    def test_quat_round_trip(self):
+        R = random_rotations(64, seed=3)
+        q = rotmat_to_quat(jnp.asarray(R))
+        R2 = quat_to_rotmat(q)
+        np.testing.assert_allclose(np.asarray(R2), R, atol=1e-5)
+
+    def test_quat_matches_scipy(self):
+        rot = ScipyRot.random(32, random_state=5)
+        q_scipy = rot.as_quat().astype(np.float32)  # xyzw
+        R = quat_to_rotmat(jnp.asarray(q_scipy))
+        np.testing.assert_allclose(np.asarray(R), rot.as_matrix(), atol=1e-5)
+
+    def test_axis_angle(self):
+        aa = np.random.RandomState(1).uniform(-2, 2, (16, 3)).astype(np.float32)
+        R = axis_angle_to_rotmat(jnp.asarray(aa))
+        R_ref = ScipyRot.from_rotvec(aa).as_matrix()
+        np.testing.assert_allclose(np.asarray(R), R_ref, atol=1e-5)
+        # near-zero branch
+        aa0 = np.full((2, 3), 1e-9, dtype=np.float32)
+        R0 = axis_angle_to_rotmat(jnp.asarray(aa0))
+        np.testing.assert_allclose(np.asarray(R0), np.tile(np.eye(3), (2, 1, 1)), atol=1e-6)
+
+    def test_euler_sxyz(self):
+        e = np.random.RandomState(2).uniform(-np.pi, np.pi, (8, 3)).astype(np.float32)
+        R = euler_to_rotmat(jnp.asarray(e))
+        # scipy 'xyz' extrinsic == transforms3d 'sxyz'
+        R_ref = ScipyRot.from_euler("xyz", e).as_matrix()
+        np.testing.assert_allclose(np.asarray(R), R_ref, atol=1e-5)
+
+    def test_geodesic_distance(self):
+        R1 = random_rotations(8, seed=7)
+        aa = np.zeros((8, 3), np.float32)
+        aa[:, 0] = 0.3
+        R2 = np.einsum("bij,bjk->bik", R1, ScipyRot.from_rotvec(aa).as_matrix().astype(np.float32))
+        d = geodesic_distance(jnp.asarray(R1), jnp.asarray(R2))
+        np.testing.assert_allclose(np.asarray(d), 0.3, atol=1e-5)
+
+
+class TestTransforms:
+    def test_transform_pts(self):
+        T = random_T(4, seed=0)
+        pts = np.random.RandomState(0).randn(4, 10, 3).astype(np.float32)
+        out = transform_pts(jnp.asarray(T), jnp.asarray(pts))
+        ref = np.einsum("bij,bpj->bpi", T[:, :3, :3], pts) + T[:, None, :3, 3]
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_transform_pts_multi(self):
+        T = np.stack([random_T(3, seed=i) for i in range(2)], axis=1)  # [3,2,4,4]
+        pts = np.random.RandomState(0).randn(3, 7, 3).astype(np.float32)
+        out = transform_pts(jnp.asarray(T), jnp.asarray(pts))
+        assert out.shape == (3, 2, 7, 3)
+        for s in range(2):
+            ref = np.einsum("bij,bpj->bpi", T[:, s, :3, :3], pts) + T[:, s, None, :3, 3]
+            np.testing.assert_allclose(np.asarray(out[:, s]), ref, atol=1e-5)
+
+    def test_invert(self):
+        T = random_T(6, seed=1)
+        Ti = invert_transforms(jnp.asarray(T))
+        prod = np.einsum("bij,bjk->bik", np.asarray(Ti), T)
+        np.testing.assert_allclose(prod, np.tile(np.eye(4), (6, 1, 1)), atol=1e-5)
+
+    def test_normalize_T(self):
+        T = random_T(5, seed=2)
+        T_noisy = T + np.random.RandomState(3).randn(*T.shape).astype(np.float32) * 1e-3
+        Tn = np.asarray(normalize_T(jnp.asarray(T_noisy)))
+        R = Tn[:, :3, :3]
+        np.testing.assert_allclose(
+            np.einsum("bij,bik->bjk", R, R), np.tile(np.eye(3), (5, 1, 1)), atol=1e-5
+        )
+        np.testing.assert_allclose(Tn[:, 3], np.tile([0, 0, 0, 1], (5, 1)), atol=0)
+
+    def test_pose9d_round_trip(self):
+        T = random_T(5, seed=4)
+        from happypose_tpu.lib3d.transforms import T_to_pose9d
+
+        T2 = pose9d_to_T(T_to_pose9d(jnp.asarray(T)))
+        np.testing.assert_allclose(np.asarray(T2), T, atol=1e-5)
+
+    def test_log_SE3_norm_zero(self):
+        T = random_T(4, seed=5)
+        d = log_SE3_norm(jnp.asarray(T), jnp.asarray(T))
+        np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-3)
+
+
+class TestCamera:
+    def _K(self, n):
+        K = np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
+        K[:, 0, 0] = 600.0
+        K[:, 1, 1] = 600.0
+        K[:, 0, 2] = 160.0
+        K[:, 1, 2] = 120.0
+        return K
+
+    def test_project_points(self):
+        n = 3
+        K = self._K(n)
+        T = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        T[:, 2, 3] = 1.0
+        pts = np.zeros((n, 1, 3), np.float32)
+        uv = project_points(jnp.asarray(pts), jnp.asarray(K), jnp.asarray(T))
+        np.testing.assert_allclose(np.asarray(uv)[:, 0], [[160, 120]] * n, atol=1e-4)
+        # off-center point
+        pts2 = np.array([[[0.1, 0.05, 0.0]]] * n, np.float32)
+        uv2 = project_points(jnp.asarray(pts2), jnp.asarray(K), jnp.asarray(T))
+        np.testing.assert_allclose(
+            np.asarray(uv2)[:, 0], [[160 + 60.0, 120 + 30.0]] * n, atol=1e-3
+        )
+
+    def test_project_robust_clamps(self):
+        n = 1
+        K = self._K(n)
+        T = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        T[:, 2, 3] = -0.5  # behind camera
+        pts = np.zeros((n, 1, 3), np.float32)
+        uv = project_points_robust(jnp.asarray(pts), jnp.asarray(K), jnp.asarray(T))
+        assert np.all(np.isfinite(np.asarray(uv)))
+
+    def test_boxes_from_uv(self):
+        uv = jnp.asarray([[[1.0, 2.0], [5.0, -1.0], [3.0, 7.0]]])
+        b = boxes_from_uv(uv)
+        np.testing.assert_allclose(np.asarray(b), [[1, -1, 5, 7]])
+
+    def test_K_crop_identity(self):
+        # full-image crop at same size: focals unchanged; principal point
+        # shifts by exactly -0.5 px (the reference's half-pixel convention,
+        # camera_geometry.py:70-123)
+        n = 2
+        K = self._K(n)
+        h, w = 240, 320
+        boxes = np.tile(np.array([0.0, 0.0, w, h], np.float32), (n, 1))
+        newK = np.asarray(
+            get_K_crop_resize(jnp.asarray(K), jnp.asarray(boxes), (h, w), (h, w))
+        )
+        np.testing.assert_allclose(newK[:, 0, 0], K[:, 0, 0], atol=1e-4)
+        np.testing.assert_allclose(newK[:, 1, 1], K[:, 1, 1], atol=1e-4)
+        np.testing.assert_allclose(newK[:, 0, 2], K[:, 0, 2] - 0.5, atol=1e-4)
+        np.testing.assert_allclose(newK[:, 1, 2], K[:, 1, 2] - 0.5, atol=1e-4)
+
+    def test_K_crop_scale(self):
+        # halving the crop size doubles the focal length
+        n = 1
+        K = self._K(n)
+        h, w = 240, 320
+        boxes = np.array([[80.0, 60.0, 240.0, 180.0]], np.float32)  # 160x120 crop
+        newK = np.asarray(
+            get_K_crop_resize(jnp.asarray(K), jnp.asarray(boxes), (h, w), (h, w))
+        )
+        np.testing.assert_allclose(newK[0, 0, 0], 600.0 * 2, atol=1e-3)
+        np.testing.assert_allclose(newK[0, 1, 1], 600.0 * 2, atol=1e-3)
+
+
+class TestPoseInitAndUpdate:
+    def _K(self, n):
+        K = np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
+        K[:, 0, 0] = K[:, 1, 1] = 600.0
+        K[:, 0, 2] = 160.0
+        K[:, 1, 2] = 120.0
+        return K
+
+    def test_TCO_init_from_boxes(self):
+        K = self._K(2)
+        boxes = np.array([[150, 110, 170, 130], [100, 100, 220, 140]], np.float32)
+        T = np.asarray(TCO_init_from_boxes((0.5, 1.5), jnp.asarray(boxes), jnp.asarray(K)))
+        np.testing.assert_allclose(T[:, 2, 3], 1.0, atol=1e-6)
+        np.testing.assert_allclose(T[0, 0:2, 3], 0.0, atol=1e-6)  # centered box
+        np.testing.assert_allclose(T[:, :3, :3], np.tile(np.eye(3), (2, 1, 1)), atol=0)
+
+    def test_zup_autodepth_consistency(self):
+        # a unit-diameter object seen in a box of ~600px at f=600 must land at z~1
+        K = self._K(1)
+        rs = np.random.RandomState(0)
+        pts = rs.uniform(-0.5, 0.5, (1, 200, 3)).astype(np.float32)
+        pts[0, 0] = [-0.5, -0.5, -0.5]
+        pts[0, 1] = [0.5, 0.5, 0.5]
+        boxes = np.array([[160 - 300, 120 - 300, 160 + 300, 120 + 300]], np.float32)
+        T = np.asarray(
+            TCO_init_from_boxes_zup_autodepth(
+                jnp.asarray(boxes), jnp.asarray(pts), jnp.asarray(K)
+            )
+        )
+        assert 0.8 < T[0, 2, 3] < 1.2
+
+    def test_pose_update_identity(self):
+        # vxvy=0, vz=1, dR=I must be a no-op
+        T = random_T(3, seed=0)
+        T[:, 2, 3] = np.abs(T[:, 2, 3]) + 1.0
+        K = self._K(3)
+        upd = np.asarray(
+            pose_update_with_reference_point(
+                jnp.asarray(T),
+                jnp.asarray(K),
+                jnp.asarray(np.tile([0.0, 0.0, 1.0], (3, 1)).astype(np.float32)),
+                jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (3, 1, 1))),
+                jnp.asarray(T[:, :3, 3]),
+            )
+        )
+        np.testing.assert_allclose(upd, T, atol=1e-5)
+
+    def test_pose_update_vz(self):
+        # doubling vz doubles the anchor depth
+        T = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1))
+        T[:, 2, 3] = 1.0
+        K = self._K(1)
+        upd = np.asarray(
+            pose_update_with_reference_point(
+                jnp.asarray(T),
+                jnp.asarray(K),
+                jnp.asarray([[0.0, 0.0, 2.0]], dtype=np.float32),
+                jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (1, 1, 1))),
+                jnp.asarray(T[:, :3, 3]),
+            )
+        )
+        np.testing.assert_allclose(upd[0, 2, 3], 2.0, atol=1e-5)
+
+
+class TestDistances:
+    def test_ADD_L1_zero(self):
+        T = random_T(4, seed=0)
+        pts = np.random.RandomState(0).randn(4, 20, 3).astype(np.float32)
+        loss = compute_ADD_L1_loss(jnp.asarray(T), jnp.asarray(T), jnp.asarray(pts))
+        np.testing.assert_allclose(np.asarray(loss), 0.0, atol=1e-6)
+
+    def test_ADD_L1_translation(self):
+        T1 = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1))
+        T2 = T1.copy()
+        T2[:, 0, 3] = 0.1
+        pts = np.random.RandomState(0).randn(1, 20, 3).astype(np.float32)
+        loss = compute_ADD_L1_loss(jnp.asarray(T1), jnp.asarray(T2), jnp.asarray(pts))
+        np.testing.assert_allclose(np.asarray(loss), 0.1 / 3, atol=1e-6)
+
+    def test_adds_symmetric_invariance(self):
+        # ADD-S of a square of points rotated by 90deg about z is 0
+        pts = np.array(
+            [[[0.5, 0.5, 0], [-0.5, 0.5, 0], [-0.5, -0.5, 0], [0.5, -0.5, 0]]],
+            np.float32,
+        )
+        T1 = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1))
+        T2 = T1.copy()
+        T2[0, :3, :3] = ScipyRot.from_euler("z", np.pi / 2).as_matrix()
+        d = dists_add_symmetric(jnp.asarray(T1), jnp.asarray(T2), jnp.asarray(pts))
+        np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-5)
+
+    def test_symmetric_distance_batched(self):
+        pts = np.random.RandomState(0).uniform(-0.5, 0.5, (2, 30, 3)).astype(np.float32)
+        T1 = random_T(2, seed=1)
+        # symmetries: identity + z-180
+        sym = np.tile(np.eye(4, dtype=np.float32), (2, 2, 1, 1))
+        sym[:, 1, :3, :3] = ScipyRot.from_euler("z", np.pi).as_matrix()
+        # T2 = T1 @ sym1 -> distance must be ~0 with alignment to sym1
+        T2 = np.einsum("bij,bjk->bik", T1, sym[:, 1])
+        d, T1a = symmetric_distance_batched(
+            jnp.asarray(T1), jnp.asarray(T2), jnp.asarray(pts), jnp.asarray(sym)
+        )
+        np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(T1a), T2, atol=1e-5)
+
+
+class TestSymmetries:
+    def test_identity_always_first(self):
+        S = make_symmetries_poses()
+        assert S.shape == (1, 4, 4)
+        np.testing.assert_allclose(S[0], np.eye(4))
+
+    def test_discrete(self):
+        M = np.eye(4)
+        M[:3, :3] = ScipyRot.from_euler("z", np.pi).as_matrix()
+        S = make_symmetries_poses(symmetries_discrete=[DiscreteSymmetry(pose=M)])
+        assert S.shape == (2, 4, 4)
+
+    def test_continuous(self):
+        S = make_symmetries_poses(
+            symmetries_continuous=[ContinuousSymmetry(axis=np.array([0, 0, 1]))],
+            n_symmetries_continuous=8,
+        )
+        assert S.shape == (8, 4, 4)
+        # all rotations about z: z axis fixed
+        for M in S:
+            np.testing.assert_allclose(M[:3, :3] @ [0, 0, 1.0], [0, 0, 1.0], atol=1e-9)

@@ -1,0 +1,91 @@
+"""Mesh IO round-trips and padded database invariants."""
+
+import numpy as np
+
+from happypose_tpu.meshes.io import (
+    Mesh,
+    load_mesh,
+    save_ply,
+    make_box_mesh,
+    make_uv_sphere,
+)
+from happypose_tpu.meshes.database import MeshDataBase
+
+
+def test_ply_round_trip(tmp_path):
+    mesh = make_box_mesh((0.1, 0.2, 0.3))
+    p = tmp_path / "box.ply"
+    save_ply(p, mesh)
+    loaded = load_mesh(p)
+    np.testing.assert_allclose(loaded.vertices, mesh.vertices, atol=1e-6)
+    np.testing.assert_array_equal(loaded.faces, mesh.faces)
+    np.testing.assert_allclose(loaded.vertex_colors, mesh.vertex_colors, atol=1 / 255.0)
+
+
+def test_obj_loader(tmp_path):
+    p = tmp_path / "tri.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\nf 1 2 3\nf 2 4 3\n")
+    mesh = load_mesh(p)
+    assert mesh.vertices.shape == (4, 3)
+    assert mesh.faces.shape == (2, 3)
+
+
+def test_diameter():
+    mesh = make_box_mesh((0.5, 0.5, 0.5))
+    np.testing.assert_allclose(mesh.diameter, np.sqrt(3.0), rtol=1e-5)
+    sph = make_uv_sphere(radius=0.25)
+    np.testing.assert_allclose(sph.diameter, 0.5, rtol=1e-2)
+
+
+def test_vertex_normals_sphere():
+    sph = make_uv_sphere(radius=1.0, n_lat=32, n_lon=48)
+    n = sph.vertex_normals
+    v = sph.vertices
+    # normals of a sphere point radially outward
+    inner = np.abs(np.sum(n * v / np.linalg.norm(v, axis=-1, keepdims=True), -1))
+    # skip poles (duplicated vertices give degenerate normals there)
+    mask = np.abs(v[:, 2]) < 0.99
+    assert inner[mask].min() > 0.95
+
+
+def test_database_padding_and_select():
+    db = MeshDataBase(
+        meshes={
+            "obj_A": make_box_mesh((0.1, 0.1, 0.1)),
+            "obj_B": make_uv_sphere(radius=0.2),
+        },
+        symmetries={
+            "obj_A": np.tile(np.eye(4, dtype=np.float32), (4, 1, 1)),
+        },
+    )
+    bm = db.batched(n_points=100)
+    assert bm.points.shape == (2, 100, 3)
+    assert bm.symmetries.shape == (2, 4, 4, 4)
+    assert bool(bm.symmetries_mask[0].sum() == 4)
+    assert bool(bm.symmetries_mask[1].sum() == 1)  # identity only
+    # select by id
+    ids = np.asarray([1, 1, 0], np.int32)
+    sel = bm.select(ids)
+    assert sel.points.shape == (3, 100, 3)
+    np.testing.assert_allclose(
+        np.asarray(sel.diameters),
+        [np.asarray(bm.diameters)[1]] * 2 + [np.asarray(bm.diameters)[0]],
+    )
+
+    ra = db.render_assets()
+    assert ra.vertices.shape[0] == 2
+    assert ra.faces_mask.dtype == bool
+    # padding faces are degenerate
+    fm = np.asarray(ra.faces_mask)
+    f = np.asarray(ra.faces)
+    for i in range(2):
+        pad = f[i][~fm[i]]
+        assert np.all(pad == 0)
+
+
+def test_database_aabb_mode():
+    db = MeshDataBase(meshes={"a": make_box_mesh((0.1, 0.2, 0.3))})
+    bm = db.batched(aabb=True)
+    assert bm.points.shape == (1, 8, 3)
+    np.testing.assert_allclose(np.abs(np.asarray(bm.points[0])),
+                               np.tile([0.1, 0.2, 0.3], (8, 1)), atol=1e-6)
