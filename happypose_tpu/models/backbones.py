@@ -1,0 +1,193 @@
+"""CNN backbones (Flax linen, NHWC, bf16-friendly).
+
+Parity targets: the reference's pose-model backbones —
+WideResNet18/34 with pre-activation BasicBlockV2 and a 5x5/stride-2 stem
+(/root/reference/happypose/pose_estimators/cosypose/cosypose/models/
+wide_resnet.py:18-136) and a torchvision-style ResNet34 v1 with an
+`n_inputs` argument (megapose/models/resnet.py:68-349). Architectures are
+re-implemented natively in Flax with NHWC layout and a compute-dtype knob so
+the MXU runs in bfloat16 while params/BN stats stay float32.
+
+BatchNorm supports cross-device sync through `axis_name` (the TPU analog of
+the reference's SyncBatchNorm option, train_megapose.py:270-277).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class BasicBlockV2(nn.Module):
+    """Pre-activation residual block (He et al. 2016, identity mappings)."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda: nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            dtype=self.dtype,
+            axis_name=self.bn_axis_name if train else None,
+        )
+        out = nn.relu(norm()(x))
+        if self.downsample:
+            residual = nn.Conv(
+                self.planes, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype,
+            )(out)
+        else:
+            residual = x
+        out = nn.Conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride),
+            padding=1, use_bias=False, dtype=self.dtype,
+        )(out)
+        out = nn.relu(norm()(out))
+        out = nn.Conv(
+            self.planes, (3, 3), padding=1, use_bias=False, dtype=self.dtype
+        )(out)
+        return out + residual
+
+
+class WideResNet(nn.Module):
+    """Stem (5x5/s2 conv + BN + ReLU + 3x3/s2 maxpool) + 4 v2 stages.
+
+    Input: [B, H, W, C]; output: [B, n_features] (global average pool).
+    """
+
+    layers: Sequence[int]
+    width: float = 1.0
+    dtype: Dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @property
+    def n_features(self) -> int:
+        return int(512 * self.width)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        config = [int(v * self.width) for v in (64, 128, 256, 512)]
+        x = nn.Conv(
+            config[0], (5, 5), strides=(2, 2), padding=2, use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype,
+            axis_name=self.bn_axis_name if train else None,
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        inplanes = config[0]
+        for stage, (planes, blocks) in enumerate(zip(config, self.layers)):
+            stride = 1 if stage == 0 else 2
+            for b in range(blocks):
+                s = stride if b == 0 else 1
+                ds = b == 0 and (s != 1 or inplanes != planes)
+                x = BasicBlockV2(
+                    planes=planes, stride=s, downsample=ds, dtype=self.dtype,
+                    bn_axis_name=self.bn_axis_name,
+                )(x, train=train)
+                inplanes = planes
+        x = jnp.mean(x, axis=(1, 2))  # global average pool -> [B, F]
+        return x.astype(jnp.float32)
+
+
+def WideResNet18(**kw) -> WideResNet:
+    return WideResNet(layers=(2, 2, 2, 2), **kw)
+
+
+def WideResNet34(**kw) -> WideResNet:
+    return WideResNet(layers=(3, 4, 6, 3), **kw)
+
+
+class BasicBlockV1(nn.Module):
+    """Post-activation residual block (torchvision ResNet v1)."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda: nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            dtype=self.dtype,
+            axis_name=self.bn_axis_name if train else None,
+        )
+        residual = x
+        out = nn.Conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride), padding=1,
+            use_bias=False, dtype=self.dtype,
+        )(x)
+        out = nn.relu(norm()(out))
+        out = nn.Conv(
+            self.planes, (3, 3), padding=1, use_bias=False, dtype=self.dtype
+        )(out)
+        out = norm()(out)
+        if self.downsample:
+            residual = nn.Conv(
+                self.planes, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype,
+            )(x)
+            residual = norm()(residual)
+        return nn.relu(out + residual)
+
+
+class ResNet(nn.Module):
+    """torchvision-style ResNet v1 (7x7/s2 stem), `n_inputs` free.
+
+    The reference's `vanilla_resnet34` is the MegaPose default backbone
+    (megapose/training/pose_models_cfg.py:89-137).
+    """
+
+    layers: Sequence[int]
+    dtype: Dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @property
+    def n_features(self) -> int:
+        return 512
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype,
+            axis_name=self.bn_axis_name if train else None,
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        inplanes = 64
+        for stage, (planes, blocks) in enumerate(
+            zip((64, 128, 256, 512), self.layers)
+        ):
+            stride = 1 if stage == 0 else 2
+            for b in range(blocks):
+                s = stride if b == 0 else 1
+                ds = b == 0 and (s != 1 or inplanes != planes)
+                x = BasicBlockV1(
+                    planes=planes, stride=s, downsample=ds, dtype=self.dtype,
+                    bn_axis_name=self.bn_axis_name,
+                )(x, train=train)
+                inplanes = planes
+        x = jnp.mean(x, axis=(1, 2))
+        return x.astype(jnp.float32)
+
+
+def ResNet34(**kw) -> ResNet:
+    return ResNet(layers=(3, 4, 6, 3), **kw)
