@@ -1,0 +1,373 @@
+"""Pose estimation pipelines (CosyPose + MegaPose), fully jitted stages.
+
+Parity targets:
+- MegaPose novel-object pipeline: /root/reference/happypose/pose_estimators/
+  megapose/inference/pose_estimator.py (`forward_coarse_model` :327,
+  `forward_refiner` :104, `forward_scoring_model` :222,
+  `run_inference_pipeline` :516).
+- CosyPose known-object pipeline: cosypose/integrated/pose_estimator.py:137.
+
+Design deltas (TPU-first): detections are padded fixed-size batches; the
+hypothesis axis (detections x SO(3)-grid) is processed in static chunks with
+`lax.map`, each chunk running crop -> on-chip render -> CNN scoring inside
+the same jit; group-wise top-k uses masked segment ops instead of pandas.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from happypose_tpu.inference.types import (
+    DetectionBatch,
+    InferenceConfig,
+    ObservationBatch,
+    PoseEstimateBatch,
+    replace_valid,
+)
+from happypose_tpu.lib3d.pose_init import (
+    TCO_init_from_boxes_autodepth_with_R,
+    TCO_init_from_boxes_zup_autodepth,
+)
+from happypose_tpu.lib3d.so3_grid import load_SO3_grid
+from happypose_tpu.meshes.database import BatchedMeshes, RenderAssets
+from happypose_tpu.models.pose_predictor import PosePredictor
+from happypose_tpu.ops.segment_ops import group_keys, topk_per_group
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class PoseEstimator:
+    """Host-side orchestrator owning jitted stage functions.
+
+    Args:
+      refiner: (PosePredictor, variables) — pose-update model.
+      coarse: (PosePredictor, variables) — either a CosyPose-style pose
+        model (predict_pose_update) or a MegaPose hypothesis classifier
+        (predict_rendered_views_logits); inferred from its config.
+      assets / meshes: the padded mesh database tensors.
+      cfg: InferenceConfig.
+    """
+
+    def __init__(
+        self,
+        refiner: Optional[Tuple[PosePredictor, dict]],
+        coarse: Optional[Tuple[PosePredictor, dict]],
+        assets: RenderAssets,
+        meshes: BatchedMeshes,
+        cfg: InferenceConfig = InferenceConfig(),
+    ):
+        self.refiner_model, self.refiner_vars = refiner if refiner else (None, None)
+        self.coarse_model, self.coarse_vars = coarse if coarse else (None, None)
+        self.assets = assets
+        self.meshes = meshes
+        self.cfg = cfg
+        self.SO3_grid = jnp.asarray(load_SO3_grid(cfg.SO3_grid_size))
+        self._coarse_is_classifier = (
+            self.coarse_model is not None
+            and self.coarse_model.cfg.predict_rendered_views_logits
+        )
+
+    # ------------------------------------------------------------------
+    # MegaPose coarse: score detections x SO(3)-grid hypotheses
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _coarse_score_chunk(self, variables, images, K, obj_ids, TCO, meshes):
+        out = self.coarse_model.apply(
+            variables, images, K, obj_ids, TCO, self.assets, meshes,
+            n_iterations=1,
+        )
+        return out.renderings_logits[0, :, 0]  # [chunk]
+
+    def forward_coarse(
+        self, obs: ObservationBatch, detections: DetectionBatch
+    ) -> PoseEstimateBatch:
+        """Replicate each detection over the SO(3) grid, init TCO with
+        autodepth, score every hypothesis with the coarse classifier.
+
+        Parity: pose_estimator.py:327-485.
+        """
+        assert self._coarse_is_classifier
+        cfg = self.cfg
+        D = detections.n_rows
+        M = cfg.SO3_grid_size
+        N = D * M
+
+        det_idx = jnp.repeat(jnp.arange(D, dtype=jnp.int32), M)  # [N]
+        hyp_ids = jnp.tile(jnp.arange(M, dtype=jnp.int32), D)
+        boxes = detections.boxes[det_idx]
+        obj_ids = detections.obj_ids[det_idx]
+        im_ids = detections.batch_im_ids[det_idx]
+        valid = detections.valid[det_idx]
+        R = jnp.tile(self.SO3_grid, (D, 1, 1))  # [N, 3, 3]
+        K = obs.K[im_ids]
+
+        inst_meshes = self.meshes.select(obj_ids)
+        TCO_init = TCO_init_from_boxes_autodepth_with_R(
+            boxes, inst_meshes.points, K, R, inst_meshes.points_mask
+        )
+
+        logits = self._score_hypotheses(obs, K, obj_ids, im_ids, TCO_init)
+        logits = jnp.where(valid, logits, -jnp.inf)
+
+        return PoseEstimateBatch(
+            poses=TCO_init,
+            K=K,
+            obj_ids=obj_ids,
+            batch_im_ids=im_ids,
+            instance_ids=detections.instance_ids[det_idx],
+            hypothesis_ids=hyp_ids,
+            scores=detections.scores[det_idx],
+            coarse_logits=logits,
+            pose_logits=jnp.zeros_like(logits),
+            valid=valid,
+        )
+
+    def _score_hypotheses(self, obs, K, obj_ids, im_ids, TCO) -> jax.Array:
+        """Chunked coarse-classifier scoring of [N] hypotheses."""
+        cfg = self.cfg
+        N = TCO.shape[0]
+        chunk = min(cfg.bsz_images, N)
+        Np = _ceil_to(N, chunk)
+
+        def padn(x):
+            widths = [(0, Np - N)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        Kp, op, ip, Tp = padn(K), padn(obj_ids), padn(im_ids), padn(TCO)
+        n_chunks = Np // chunk
+
+        def body(args):
+            Kc, oc, ic, Tc = args
+            imgs = obs.images[ic]
+            mc = self.meshes.select(oc)
+            return self._coarse_score_chunk(self.coarse_vars, imgs, Kc, oc, Tc, mc)
+
+        logits = jax.lax.map(
+            body,
+            (
+                Kp.reshape(n_chunks, chunk, 3, 3),
+                op.reshape(n_chunks, chunk),
+                ip.reshape(n_chunks, chunk),
+                Tp.reshape(n_chunks, chunk, 4, 4),
+            ),
+        )
+        return logits.reshape(Np)[:N]
+
+    # ------------------------------------------------------------------
+    # Refiner
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self", "n_iterations"))
+    def _refine_chunk(self, variables, images, K, obj_ids, TCO, meshes,
+                      n_iterations):
+        out = self.refiner_model.apply(
+            variables, images, K, obj_ids, TCO, self.assets, meshes,
+            n_iterations=n_iterations,
+        )
+        return out.TCO_output  # [n_iter, chunk, 4, 4]
+
+    def forward_refiner(
+        self, obs: ObservationBatch, estimates: PoseEstimateBatch,
+        n_iterations: Optional[int] = None,
+    ) -> Tuple[PoseEstimateBatch, Dict[str, PoseEstimateBatch]]:
+        """Iteratively refine all estimates (chunked by bsz_objects).
+
+        Parity: pose_estimator.py:104-220. Returns (final, per-iteration).
+        """
+        cfg = self.cfg
+        n_iterations = n_iterations or cfg.n_refiner_iterations
+        N = estimates.n_rows
+        chunk = min(cfg.bsz_objects, N)
+        Np = _ceil_to(N, chunk)
+
+        def padn(x):
+            widths = [(0, Np - N)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        K = padn(estimates.K)
+        obj_ids = padn(estimates.obj_ids)
+        im_ids = padn(estimates.batch_im_ids)
+        TCO = padn(estimates.poses)
+        n_chunks = Np // chunk
+
+        def body(args):
+            Kc, oc, ic, Tc = args
+            imgs = obs.images[ic]
+            mc = self.meshes.select(oc)
+            return self._refine_chunk(
+                self.refiner_vars, imgs, Kc, oc, Tc, mc, n_iterations
+            )
+
+        all_iters = jax.lax.map(
+            body,
+            (
+                K.reshape(n_chunks, chunk, 3, 3),
+                obj_ids.reshape(n_chunks, chunk),
+                im_ids.reshape(n_chunks, chunk),
+                TCO.reshape(n_chunks, chunk, 4, 4),
+            ),
+        )  # [n_chunks, n_iter, chunk, 4, 4]
+        all_iters = jnp.moveaxis(all_iters, 1, 0).reshape(n_iterations, Np, 4, 4)
+        all_iters = all_iters[:, :N]
+
+        per_iter = {}
+        for it in range(n_iterations):
+            upd = replace_valid(estimates, estimates.valid)
+            upd = PoseEstimateBatch(
+                poses=all_iters[it], K=estimates.K, obj_ids=estimates.obj_ids,
+                batch_im_ids=estimates.batch_im_ids,
+                instance_ids=estimates.instance_ids,
+                hypothesis_ids=estimates.hypothesis_ids,
+                scores=estimates.scores, coarse_logits=estimates.coarse_logits,
+                pose_logits=estimates.pose_logits, valid=estimates.valid,
+            )
+            per_iter[f"iteration={it + 1}"] = upd
+        return per_iter[f"iteration={n_iterations}"], per_iter
+
+    # ------------------------------------------------------------------
+    # Scoring model (re-score refined poses with the coarse classifier)
+    # ------------------------------------------------------------------
+
+    def forward_scoring(
+        self, obs: ObservationBatch, estimates: PoseEstimateBatch
+    ) -> PoseEstimateBatch:
+        """Parity: pose_estimator.py:222-325."""
+        logits = self._score_hypotheses(
+            obs, estimates.K, estimates.obj_ids, estimates.batch_im_ids,
+            estimates.poses,
+        )
+        logits = jnp.where(estimates.valid, logits, -jnp.inf)
+        return PoseEstimateBatch(
+            poses=estimates.poses, K=estimates.K, obj_ids=estimates.obj_ids,
+            batch_im_ids=estimates.batch_im_ids,
+            instance_ids=estimates.instance_ids,
+            hypothesis_ids=estimates.hypothesis_ids,
+            scores=estimates.scores, coarse_logits=estimates.coarse_logits,
+            pose_logits=logits, valid=estimates.valid,
+        )
+
+    # ------------------------------------------------------------------
+    # Selection
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def filter_top_k(
+        estimates: PoseEstimateBatch, by: str, k: int
+    ) -> PoseEstimateBatch:
+        """Group-wise top-k (groups = batch_im_id x obj_id x instance_id).
+
+        Parity: tensor_collection.py:201-230 (`filter_top_pose_estimates`).
+        """
+        key = group_keys(
+            estimates.batch_im_ids, estimates.obj_ids, estimates.instance_ids
+        )
+        score = getattr(estimates, by)
+        keep = topk_per_group(key, score, estimates.valid, k)
+        return replace_valid(estimates, keep)
+
+    # ------------------------------------------------------------------
+    # CosyPose-style init (no SO(3) grid)
+    # ------------------------------------------------------------------
+
+    def make_TCO_init(
+        self, obs: ObservationBatch, detections: DetectionBatch
+    ) -> PoseEstimateBatch:
+        """Parity: cosypose/integrated/pose_estimator.py:125-134 (zup+autodepth)."""
+        K = obs.K[detections.batch_im_ids]
+        inst = self.meshes.select(detections.obj_ids)
+        TCO = TCO_init_from_boxes_zup_autodepth(
+            detections.boxes, inst.points, K, inst.points_mask
+        )
+        z = jnp.zeros_like(detections.scores)
+        return PoseEstimateBatch(
+            poses=TCO, K=K, obj_ids=detections.obj_ids,
+            batch_im_ids=detections.batch_im_ids,
+            instance_ids=detections.instance_ids,
+            hypothesis_ids=jnp.zeros_like(detections.obj_ids),
+            scores=detections.scores, coarse_logits=z, pose_logits=z,
+            valid=detections.valid,
+        )
+
+    # ------------------------------------------------------------------
+    # Full pipelines
+    # ------------------------------------------------------------------
+
+    def run_inference_pipeline(
+        self,
+        obs: ObservationBatch,
+        detections: DetectionBatch,
+        n_refiner_iterations: Optional[int] = None,
+        n_pose_hypotheses: Optional[int] = None,
+    ) -> Dict[str, PoseEstimateBatch]:
+        """Full pipeline. MegaPose flavor when the coarse model is a
+        classifier (grid scoring -> top-K -> refine -> re-score -> top-1);
+        CosyPose flavor otherwise (init -> coarse iters -> refine).
+
+        Parity: megapose pose_estimator.py:516-668,
+        cosypose pose_estimator.py:137-470.
+        """
+        cfg = self.cfg
+        n_hyp = n_pose_hypotheses or cfg.n_pose_hypotheses
+        results: Dict[str, PoseEstimateBatch] = {}
+
+        if self._coarse_is_classifier:
+            coarse = self.forward_coarse(obs, detections)
+            results["coarse"] = coarse
+            kept = self.filter_top_k(coarse, by="coarse_logits", k=n_hyp)
+            # compact to D*n_hyp rows for the refiner (static shape)
+            D = detections.n_rows
+            order = jnp.argsort(
+                jnp.where(kept.valid, 0, 1) * jnp.float32(1e9)
+                - kept.coarse_logits
+            )
+            take = order[: D * n_hyp]
+            subset = kept.select(take)
+            refined, per_iter = self.forward_refiner(
+                obs, subset, n_refiner_iterations
+            )
+            results.update(per_iter)
+            scored = self.forward_scoring(obs, refined)
+            results["scored"] = scored
+            final = self.filter_top_k(scored, by="pose_logits", k=1)
+        else:
+            init = self.make_TCO_init(obs, detections)
+            results["init"] = init
+            est = init
+            if self.coarse_model is not None:
+                est, _ = self._forward_coarse_pose_model(obs, est)
+                results["coarse"] = est
+            final, per_iter = self.forward_refiner(
+                obs, est, n_refiner_iterations
+            )
+            results.update(per_iter)
+            # CosyPose has no scoring model; score = detection score
+            final = PoseEstimateBatch(
+                poses=final.poses, K=final.K, obj_ids=final.obj_ids,
+                batch_im_ids=final.batch_im_ids,
+                instance_ids=final.instance_ids,
+                hypothesis_ids=final.hypothesis_ids, scores=final.scores,
+                coarse_logits=final.coarse_logits,
+                pose_logits=final.scores, valid=final.valid,
+            )
+        results["final"] = final
+        return results
+
+    def _forward_coarse_pose_model(self, obs, estimates):
+        """CosyPose coarse = a pose model run n_coarse_iterations."""
+        saved = self.refiner_model, self.refiner_vars
+        self.refiner_model, self.refiner_vars = self.coarse_model, self.coarse_vars
+        try:
+            out = self.forward_refiner(
+                obs, estimates, n_iterations=self.cfg.n_coarse_iterations
+            )
+        finally:
+            self.refiner_model, self.refiner_vars = saved
+        return out
