@@ -1,0 +1,99 @@
+"""Benchmark: render-and-compare refiner poses/sec/chip on real TPU.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline anchor (BASELINE.md): the reference's GPU refiner moves every
+iteration's crops through a multiprocess OpenGL pool; a V100-era refiner
+sustains roughly 50 pose-iterations/s/GPU at bsz_objects=16 with 240x320
+renders (BASELINE.json has no published number; this is the envelope implied
+by its defaults and the 4h/dataset eval budget). vs_baseline is measured
+against that 50 it/s anchor.
+
+One pose-iteration = crop -> render (240x320) -> CNN (resnet34) -> SE(3)
+update for one object hypothesis. The whole loop runs on-chip; timing uses
+an on-device lax.scan to amortize the host tunnel round-trip.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+REFERENCE_POSE_ITERS_PER_SEC = 50.0  # V100-era anchor, see docstring
+B = 16  # bsz_objects (reference default, inference/types.py:98)
+N_SCAN = 20
+
+
+def main():
+    from happypose_tpu.meshes.database import MeshDataBase
+    from happypose_tpu.meshes.io import make_box_mesh, make_uv_sphere
+    from happypose_tpu.models import PosePredictor, PosePredictorConfig
+
+    db = MeshDataBase(
+        meshes={
+            "sphere": make_uv_sphere(radius=0.05, n_lat=24, n_lon=32),
+            "box": make_box_mesh((0.04, 0.03, 0.05)),
+        }
+    )
+    assets = db.render_assets()
+    bm = db.batched(n_points=512)
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    cfg = PosePredictorConfig(
+        backbone="resnet34",
+        render_size=(240, 320),
+        renderer="pallas" if on_tpu else "reference",
+        compute_dtype="bfloat16" if on_tpu else "float32",
+    )
+    model = PosePredictor(cfg)
+
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.rand(B, 3, 240, 320).astype(np.float32))
+    K = jnp.broadcast_to(
+        jnp.asarray([[600.0, 0, 160], [0, 600.0, 120], [0, 0, 1]]), (B, 3, 3)
+    )
+    obj_ids = jnp.asarray([0, 1] * (B // 2), jnp.int32)
+    TCO0 = jnp.broadcast_to(jnp.eye(4), (B, 4, 4)).at[:, 2, 3].set(0.5)
+    meshes = bm.select(obj_ids)
+    variables = model.init(
+        jax.random.PRNGKey(0), images, K, obj_ids, TCO0, assets, meshes,
+        n_iterations=1,
+    )
+
+    @jax.jit
+    def many(TCO):
+        def body(T, _):
+            out = model.apply(
+                variables, images, K, obj_ids, T, assets, meshes,
+                n_iterations=1,
+            )
+            return out.TCO_output[-1], ()
+
+        T_final, _ = jax.lax.scan(body, TCO, None, length=N_SCAN)
+        return T_final
+
+    # compile + warm
+    jax.block_until_ready(many(TCO0))
+    t0 = time.time()
+    jax.block_until_ready(many(TCO0))
+    dt = time.time() - t0
+    pose_iters_per_sec = B * N_SCAN / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "refiner_pose_iterations_per_sec_per_chip",
+                "value": round(pose_iters_per_sec, 2),
+                "unit": "pose-iters/s (crop+render240x320+resnet34+update)",
+                "vs_baseline": round(
+                    pose_iters_per_sec / REFERENCE_POSE_ITERS_PER_SEC, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
