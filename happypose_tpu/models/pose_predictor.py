@@ -39,7 +39,7 @@ from happypose_tpu.lib3d.transforms import normalize_T
 from happypose_tpu.meshes.database import BatchedMeshes, RenderAssets
 from happypose_tpu.ops.rasterizer import render_batch
 from happypose_tpu.ops.rasterizer_pallas import render_batch_pallas
-from happypose_tpu.ops.roi_align import crop_images
+from happypose_tpu.ops.crop_resize import crop_images_matmul
 from happypose_tpu.models.backbones import ResNet34, WideResNet18, WideResNet34
 
 
@@ -137,7 +137,7 @@ class PosePredictor(nn.Module):
             center, boxes_rend, boxes_rend, lamb=self.cfg.crop_lamb,
             im_size=(H, W),
         )
-        images_crop = crop_images(
+        images_crop = crop_images_matmul(
             images, boxes_crop, output_size=self.cfg.render_size, sampling_ratio=4
         )
         K_crop = get_K_crop_resize(K, boxes_crop, (H, W), self.cfg.render_size)

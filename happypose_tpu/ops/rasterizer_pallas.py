@@ -1,25 +1,25 @@
-"""Pallas TPU kernel for the rasterizer's z-buffer pass.
+"""Pallas TPU rasterizer — fused z-buffer + attribute interpolation.
 
-Same contract as `rasterizer._zbuffer_scan` (per-pixel closest-face search),
-engineered for the MXU instead of scalar loops:
+Same outputs as `rasterizer.render_batch` (rgb/normals/depth/mask), built
+for the MXU with zero per-pixel gathers:
 
-- Each face is reduced (host XLA side, `_face_affine_coeffs`) to four affine
-  functions of the pixel coordinate: the three normalized edge functions
-  (bary coords, >= 0 inside) and the affine 1/z. A chunk of 64 faces is a
-  [4*CHUNK, 3] coefficient matrix.
-- The kernel evaluates all faces of a chunk against all pixels of a tile with
-  one [4*CHUNK, 3] @ [3, TILE_PX] matmul (MXU): faces live in sublanes,
-  pixels in lanes, so the face reduction (z-compare/argmax) is a cheap
-  cross-sublane reduce and the running z-buffer is a lane-major [1, TILE_PX]
-  row — no lane-dimension relayouts anywhere (mosaic constraint).
-- Faces are pre-sorted by screen-space tile (Morton-ish key); a per-chunk
-  screen bbox lives in SMEM (scalar prefetch) so a tile skips whole chunks
-  that cannot touch it (`@pl.when`). This is the binning that replaces a GL
-  rasterizer's hierarchical traversal.
-- 1/z is clamped per face to its vertex range so degenerate slivers can never
-  fabricate a closer depth (same guard as the reference implementation).
+- Host-XLA side reduces every face to TEN affine functions of the pixel
+  coordinate: 3 normalized edge functions (coverage), affine 1/z, and six
+  attribute*(1/z) channels (rgb, camera-frame normal) — perspective-correct
+  interpolation is `(affine attr*iz) / (affine iz)`.
+- The kernel evaluates a 64-face chunk against a pixel tile with one
+  [10*CHUNK, 3] @ [3, TILE_PX] matmul (faces in sublanes, pixels in lanes),
+  does the coverage test + z-compare on the VPU, and resolves the winning
+  face's attributes with a one-hot masked sublane reduction — no face-id
+  buffer, no second pass, no gathers.
+- Chunk-level screen-bbox culling via scalar prefetch + spatial face
+  sorting (the binning that replaces a GL rasterizer's traversal).
+- f32 robustness: tile-local coordinate shift; per-face 1/z clamping so
+  degenerate slivers can't fabricate a closer depth.
 
-Outputs feed the plain-XLA shading pass (`rasterizer._shade`) unchanged.
+Final shading (normal normalize/flip + headlight Lambert) is elementwise
+XLA after the kernel. Replaces the reference's multiprocess OpenGL pool
+(/root/reference/happypose/toolbox/renderer/panda3d_batch_renderer.py).
 """
 
 from __future__ import annotations
@@ -37,23 +37,24 @@ from happypose_tpu.ops.rasterizer import (
     RenderOutput,
     _FaceData,
     _face_screen_data,
-    _shade,
 )
 
-CHUNK = 64  # faces per chunk (sublane-friendly: 4 affine groups x 64 = 256)
+CHUNK = 64  # faces per chunk
+N_AFF = 10  # w0, w1, w2, iz, (r, g, b, nx, ny, nz) * iz
+N_OUT_ROWS = 8  # iz + 6 attrs + 1 pad (sublane-aligned)
 TILE_H = 16
 TILE_W = 128
 TILE_PX = TILE_H * TILE_W
 
 
-def _face_affine_coeffs(fd: _FaceData, resolution: Tuple[int, int]):
-    """Per-face affine coefficients + bboxes (XLA, batched over faces).
+def _face_affine_coeffs_fused(fd, face_attr_iz, resolution):
+    """Affine coefficients for coverage, 1/z and attribute*(1/z) channels.
 
+    Args:
+      fd: _FaceData (u, v [F, 3], inv_z [F, 3], valid [F]).
+      face_attr_iz: [F, 3, 6] per-vertex (attr * inv_z) values.
     Returns:
-      A: [F, 3, 4] — columns (w0', w1', w2', inv_z) as affine functions
-         [a, b, c] of (pu, pv, 1); w' normalized so covered <=> all w' >= 0.
-      izrange: [F, 2] — (izmin, izmax) clamp range.
-      bbox: [F, 4] — (umin, vmin, umax, vmax), empty for invalid faces.
+      A [F, 3, N_AFF] (coeff a/b/c in rows), izrange [F, 2], bbox [F, 4].
     """
     H, W = resolution
     u0, u1, u2 = fd.u[:, 0], fd.u[:, 1], fd.u[:, 2]
@@ -64,36 +65,31 @@ def _face_affine_coeffs(fd: _FaceData, resolution: Tuple[int, int]):
     ok = fd.valid & (jnp.abs(area) > 1e-12)
     norm = jnp.where(ok, jnp.sign(area) / jnp.maximum(jnp.abs(area), 1e-12), 0.0)
 
-    # w1(p) = (pu - u0) e2v - (pv - v0) e2u ; w2(p) = (pv - v0) e1u - (pu - u0) e1v
-    a1, b1 = e2v, -e2u
-    c1 = -u0 * e2v + v0 * e2u
-    a2, b2 = -e1v, e1u
-    c2 = u0 * e1v - v0 * e1u
+    a1, b1 = e2v * norm, -e2u * norm
+    c1 = (-u0 * e2v + v0 * e2u) * norm
+    a2, b2 = -e1v * norm, e1u * norm
+    c2 = (u0 * e1v - v0 * e1u) * norm
     a0, b0 = -(a1 + a2), -(b1 + b2)
-    c0 = area - c1 - c2
+    c0 = area * norm - c1 - c2
+    c0 = jnp.where(ok, c0, -1.0)  # invalid faces never covered
 
-    def nrm(a, b, c):
-        return a * norm, b * norm, c * norm
-
-    a0, b0, c0 = nrm(a0, b0, c0)
-    a1, b1, c1 = nrm(a1, b1, c1)
-    a2, b2, c2 = nrm(a2, b2, c2)
-    # invalid faces: w0' == -1 everywhere -> never covered
-    c0 = jnp.where(ok, c0, -1.0)
-
-    iz0, iz1, iz2 = fd.inv_z[:, 0], fd.inv_z[:, 1], fd.inv_z[:, 2]
-    az = a0 * iz0 + a1 * iz1 + a2 * iz2
-    bz = b0 * iz0 + b1 * iz1 + b2 * iz2
-    cz = c0 * iz0 + c1 * iz1 + c2 * iz2
-
-    A = jnp.stack(
+    # normalized bary coeff stacks: [F, 3(vertex), 3(a,b,c)]
+    bary = jnp.stack(
         [
-            jnp.stack([a0, a1, a2, az], -1),
-            jnp.stack([b0, b1, b2, bz], -1),
-            jnp.stack([c0, c1, c2, cz], -1),
+            jnp.stack([a0, b0, c0], -1),
+            jnp.stack([a1, b1, c1], -1),
+            jnp.stack([a2, b2, c2], -1),
         ],
         axis=1,
-    )  # [F, 3, 4]
+    )
+
+    # iz and attribute channels are linear in bary: coeff = sum_j bary_j*val_j
+    vals = jnp.concatenate([fd.inv_z[..., None], face_attr_iz], axis=-1)
+    chan = jnp.einsum("fvc,fvk->fck", bary, vals)  # [F, 3, 7]
+
+    A = jnp.concatenate(
+        [jnp.moveaxis(bary, 1, 2), chan], axis=-1
+    )  # [F, 3, N_AFF]
 
     izmin = jnp.min(fd.inv_z, axis=-1)
     izmax = jnp.max(fd.inv_z, axis=-1)
@@ -125,18 +121,15 @@ def _sort_key(bbox: jax.Array) -> jax.Array:
     return kv * 256 + ku
 
 
-def _make_zbuffer_kernel(n_tw: int):
-    """Kernel over grid (B, n_tiles, n_chunks); n_tw static (tiles per row)."""
-
-    def kernel(bbox_ref, At_ref, izc_ref, iz_out, fid_out):
+def _make_kernel(n_tw: int):
+    def kernel(bbox_ref, At_ref, finfo_ref, buf_out):
         t = pl.program_id(1)
         c = pl.program_id(2)
         b = pl.program_id(0)
 
         @pl.when((t == 0) & (c == 0))
         def _():
-            iz_out[...] = jnp.zeros_like(iz_out)
-            fid_out[...] = jnp.full_like(fid_out, -1)
+            buf_out[...] = jnp.zeros_like(buf_out)
 
         ti = t // n_tw
         tj = t - ti * n_tw
@@ -155,10 +148,10 @@ def _make_zbuffer_kernel(n_tw: int):
 
         @pl.when(overlap)
         def _():
-            At = At_ref[0, 0]  # [4*CHUNK, 3] faces-in-rows coefficients
+            At = At_ref[0, 0]  # [N_AFF*CHUNK, 3]
             # shift constants to tile-local pixel coords (f32-friendly)
             c_adj = At[:, 2:3] + At[:, 0:1] * tu0 + At[:, 1:2] * tv0
-            At_loc = jnp.concatenate([At[:, 0:2], c_adj], axis=1)  # [4C, 3]
+            At_loc = jnp.concatenate([At[:, 0:2], c_adj], axis=1)
 
             # M^T [3, TILE_PX]: rows (pu_local, pv_local, 1), built directly
             # in target shape (no lane relayouts allowed in mosaic)
@@ -173,24 +166,105 @@ def _make_zbuffer_kernel(n_tw: int):
             W1 = R[1 * CHUNK : 2 * CHUNK, :]
             W2 = R[2 * CHUNK : 3 * CHUNK, :]
             IZ = R[3 * CHUNK : 4 * CHUNK, :]
-            izc = izc_ref[0, 0]  # [CHUNK, 2]
-            IZ = jnp.clip(IZ, izc[:, 0:1], izc[:, 1:2])
+            fi = finfo_ref[0, 0]  # [CHUNK, 8]
+            IZ = jnp.clip(IZ, fi[:, 0:1], fi[:, 1:2])
             cov = (W0 >= 0) & (W1 >= 0) & (W2 >= 0)
-            cand = jnp.where(cov, IZ, -1.0)  # [CHUNK, TILE_PX]
+            # per-face bbox mask: sliver faces can pass the edge test far
+            # from the triangle through f32 coefficient noise
+            gu = pu[0:1, :] + tu0  # [1, TILE_PX] global pixel coords
+            gv = pv[0:1, :] + tv0
+            inside = (
+                (gu >= fi[:, 2:3] - 1.0)
+                & (gu <= fi[:, 4:5] + 1.0)
+                & (gv >= fi[:, 3:4] - 1.0)
+                & (gv <= fi[:, 5:6] + 1.0)
+            )
+            cand = jnp.where(cov & inside, IZ, -1.0)  # [CHUNK, TILE_PX]
 
             best = jnp.max(cand, axis=0, keepdims=True)  # [1, TILE_PX]
+            # first-winner one-hot (ties resolve to the lowest face index)
             fidx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE_PX), 0)
-            amax = jnp.min(
+            amin = jnp.min(
                 jnp.where(cand == best, fidx, CHUNK), axis=0, keepdims=True
             )
+            onehot = (fidx == amin).astype(jnp.float32)
 
-            prev_iz = iz_out[0, pl.ds(t, 1)]  # [1, TILE_PX]
-            prev_fid = fid_out[0, pl.ds(t, 1)]
-            better = (best > prev_iz) & (best > 0)
-            iz_out[0, pl.ds(t, 1)] = jnp.where(better, best, prev_iz)
-            fid_out[0, pl.ds(t, 1)] = jnp.where(better, c * CHUNK + amax, prev_fid)
+            rows = [best]
+            for k in range(6):
+                Q = R[(4 + k) * CHUNK : (5 + k) * CHUNK, :]
+                rows.append(jnp.sum(Q * onehot, axis=0, keepdims=True))
+            rows.append(jnp.zeros((1, TILE_PX), jnp.float32))
+            new_rows = jnp.concatenate(rows, axis=0)  # [N_OUT_ROWS, TILE_PX]
+
+            prev = buf_out[0, pl.ds(t, 1)][0]  # [N_OUT_ROWS, TILE_PX]
+            better = (best > prev[0:1, :]) & (best > 0)  # [1, TILE_PX]
+            merged = jnp.where(better, new_rows, prev)
+            buf_out[0, pl.ds(t, 1)] = merged[None]
 
     return kernel
+
+
+
+
+def _raster_fused_xla(At, finfo, resolution):
+    """jnp reference for the fused kernel: same packed inputs, same outputs."""
+    H, W = resolution
+    B, n_chunks = At.shape[:2]
+    px_u = jnp.tile(jnp.arange(W, dtype=jnp.float32), H)
+    px_v = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W)
+    Mt = jnp.stack([px_u, px_v, jnp.ones_like(px_u)], axis=0)  # [3, H*W]
+
+    def per_image(At_i, finfo_i):
+        def body(carry, inp):
+            best, rows = carry
+            a, z = inp  # [N_AFF*CHUNK, 3], [CHUNK, 8]
+            # chunk-local coordinates (f32 precision, mirrors the kernel's
+            # tile-local shift): constants re-anchored at the chunk bbox min
+            u0 = jnp.min(z[:, 2])
+            v0 = jnp.min(z[:, 3])
+            c_adj = a[:, 2] + a[:, 0] * u0 + a[:, 1] * v0
+            Mt_loc = jnp.stack(
+                [px_u - u0, px_v - v0, jnp.ones_like(px_u)], axis=0
+            )
+            a_loc = jnp.stack([a[:, 0], a[:, 1], c_adj], axis=1)
+            R = a_loc @ Mt_loc  # [N_AFF*CHUNK, H*W]
+            W0 = R[0 * CHUNK : 1 * CHUNK]
+            W1 = R[1 * CHUNK : 2 * CHUNK]
+            W2 = R[2 * CHUNK : 3 * CHUNK]
+            IZ = jnp.clip(R[3 * CHUNK : 4 * CHUNK], z[:, 0:1], z[:, 1:2])
+            cov = (W0 >= 0) & (W1 >= 0) & (W2 >= 0)
+            inside = (
+                (px_u[None, :] >= z[:, 2:3] - 1.0)
+                & (px_u[None, :] <= z[:, 4:5] + 1.0)
+                & (px_v[None, :] >= z[:, 3:4] - 1.0)
+                & (px_v[None, :] <= z[:, 5:6] + 1.0)
+            )
+            cand = jnp.where(cov & inside, IZ, -1.0)
+            cbest = jnp.max(cand, axis=0, keepdims=True)
+            fidx = jnp.arange(CHUNK)[:, None]
+            amin = jnp.min(jnp.where(cand == cbest, fidx, CHUNK), axis=0,
+                           keepdims=True)
+            onehot = (fidx == amin).astype(jnp.float32)
+            new_rows = [cbest]
+            for k in range(6):
+                Q = R[(4 + k) * CHUNK : (5 + k) * CHUNK]
+                new_rows.append(jnp.sum(Q * onehot, axis=0, keepdims=True))
+            new_rows.append(jnp.zeros_like(cbest))
+            new_rows = jnp.concatenate(new_rows, axis=0)
+            better = (cbest > best[0:1]) & (cbest > 0)
+            merged = jnp.where(better, new_rows, best)
+            return (merged, rows), None
+
+        init = (jnp.zeros((N_OUT_ROWS, H * W)), None)
+        (acc, _), _ = jax.lax.scan(body, init, (At_i, finfo_i))
+        return acc
+
+    acc = jax.vmap(per_image)(At, finfo)  # [B, N_OUT_ROWS, H*W]
+    x = acc.reshape(B, N_OUT_ROWS, H, W)
+    iz = x[:, 0]
+    z = jnp.where(iz > 0, 1.0 / jnp.maximum(iz, 1e-12), 0.0)
+    attr = x[:, 1:7] * z[:, None]
+    return iz, attr
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -198,23 +272,17 @@ def _cdiv(a: int, b: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("resolution", "interpret"))
-def zbuffer_pallas(
+def raster_fused_pallas(
     u: jax.Array,
     v: jax.Array,
     inv_z: jax.Array,
     valid: jax.Array,
+    attrs: jax.Array,  # [B, F, 3, 6] per-vertex attributes (rgb + n_cam)
     resolution: Tuple[int, int],
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Batched closest-face search on TPU.
-
-    Args:
-      u, v, inv_z: [B, F, 3] per-face screen data (any F; padded to CHUNK).
-      valid: [B, F] bool.
-    Returns:
-      (face_id [B, H, W] int32 into the *sorted* face order, inv_z_best
-       [B, H, W], perm [B, F_padded] the sort permutation applied).
-    """
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (iz [B, H, W], attr [B, 6, H, W]); attr is already divided by
+    iz (perspective-correct rgb + camera normals, 0 on background)."""
     H, W = resolution
     B, F = u.shape[:2]
     Fp = _cdiv(F, CHUNK) * CHUNK
@@ -223,27 +291,33 @@ def zbuffer_pallas(
     v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
     inv_z = jnp.pad(inv_z, ((0, 0), (0, pad), (0, 0)), constant_values=1.0)
     valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    attrs = jnp.pad(attrs, ((0, 0), (0, pad), (0, 0), (0, 0)))
 
-    def per_image(u_i, v_i, iz_i, val_i):
+    def per_image(u_i, v_i, iz_i, val_i, attr_i):
         fd = _FaceData(u=u_i, v=v_i, inv_z=iz_i, valid=val_i)
-        A, izr, bbox = _face_affine_coeffs(fd, resolution)
+        attr_iz = attr_i * iz_i[..., None]
+        A, izr, bbox = _face_affine_coeffs_fused(fd, attr_iz, resolution)
         perm = jnp.argsort(_sort_key(bbox))
         A = A[perm]
         izr = izr[perm]
         bbox = bbox[perm]
         n_chunks = Fp // CHUNK
-        # chunk-major [n_chunks, 4*CHUNK, 3]: rows grouped as
-        # (w0 x CHUNK, w1 x CHUNK, w2 x CHUNK, iz x CHUNK), coeff in columns
-        At = A.reshape(n_chunks, CHUNK, 3, 4).transpose(0, 3, 1, 2)  # [c,4,C,3]
-        At = At.reshape(n_chunks, 4 * CHUNK, 3)
-        izc = izr.reshape(n_chunks, CHUNK, 2)
+        # [n_chunks, N_AFF*CHUNK, 3]: affine groups in separate row blocks
+        At = A.reshape(n_chunks, CHUNK, 3, N_AFF).transpose(0, 3, 1, 2)
+        At = At.reshape(n_chunks, N_AFF * CHUNK, 3)
         bb = bbox.reshape(n_chunks, CHUNK, 4)
+        finfo = jnp.concatenate(
+            [izr.reshape(n_chunks, CHUNK, 2), bb,
+             jnp.zeros((n_chunks, CHUNK, 2))],
+            axis=-1,
+        )  # [c, CHUNK, 8]
         chunk_bbox = jnp.concatenate(
-            [jnp.min(bb[..., :2], axis=1), jnp.max(bb[..., 2:], axis=1)], axis=-1
-        )  # [c, 4]
-        return At, izc, chunk_bbox, perm
+            [jnp.min(bb[..., :2], axis=1), jnp.max(bb[..., 2:], axis=1)],
+            axis=-1,
+        )
+        return At, finfo, chunk_bbox
 
-    At, izc, chunk_bbox, perm = jax.vmap(per_image)(u, v, inv_z, valid)
+    At, finfo, chunk_bbox = jax.vmap(per_image)(u, v, inv_z, valid, attrs)
 
     n_chunks = Fp // CHUNK
     Hp = _cdiv(H, TILE_H) * TILE_H
@@ -253,50 +327,51 @@ def zbuffer_pallas(
     n_tiles = n_th * n_tw
     grid = (B, n_tiles, n_chunks)
 
+    if interpret:
+        # Pure-XLA mirror of the kernel contract (pallas interpret mode
+        # mis-accumulates revisited output blocks under jit; the compiled
+        # kernel is validated on TPU directly). Test/CPU sizes only.
+        return _raster_fused_xla(At, finfo, (H, W))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 4 * CHUNK, 3),
+                (1, 1, N_AFF * CHUNK, 3),
                 lambda b, t, c, *refs: (b, c, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, CHUNK, 2),
+                (1, 1, CHUNK, 8),
                 lambda b, t, c, *refs: (b, c, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, n_tiles, TILE_PX), lambda b, t, c, *refs: (b, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, n_tiles, TILE_PX), lambda b, t, c, *refs: (b, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        out_specs=pl.BlockSpec(
+            (1, n_tiles, N_OUT_ROWS, TILE_PX),
+            lambda b, t, c, *refs: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
     )
 
-    iz_flat, fid_flat = pl.pallas_call(
-        _make_zbuffer_kernel(n_tw),
+    buf = pl.pallas_call(
+        _make_kernel(n_tw),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, n_tiles, TILE_PX), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_tiles, TILE_PX), jnp.int32),
-        ],
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_tiles, N_OUT_ROWS, TILE_PX), jnp.float32
+        ),
         interpret=interpret,
-    )(chunk_bbox, At, izc)
+    )(chunk_bbox, At, finfo)
 
-    # un-tile: [B, n_tiles, TILE_PX] -> [B, Hp, Wp] -> crop
-    def untile(x):
-        x = x.reshape(B, n_th, n_tw, TILE_H, TILE_W)
-        x = x.transpose(0, 1, 3, 2, 4).reshape(B, Hp, Wp)
-        return x[:, :H, :W]
-
-    return untile(fid_flat), untile(iz_flat), perm
+    # un-tile [B, n_tiles, R, TILE_PX] -> [B, R, Hp, Wp] -> crop
+    x = buf.reshape(B, n_th, n_tw, N_OUT_ROWS, TILE_H, TILE_W)
+    x = x.transpose(0, 3, 1, 4, 2, 5).reshape(B, N_OUT_ROWS, Hp, Wp)
+    x = x[:, :, :H, :W]
+    iz = x[:, 0]
+    z = jnp.where(iz > 0, 1.0 / jnp.maximum(iz, 1e-12), 0.0)
+    attr = x[:, 1:7] * z[:, None]
+    return iz, attr
 
 
 @partial(
@@ -315,38 +390,41 @@ def render_batch_pallas(
     light_diffuse: float = 0.6,
     interpret: bool = False,
 ) -> RenderOutput:
-    """Drop-in replacement for `rasterizer.render_batch` using the TPU kernel
-    for the z-buffer pass."""
+    """Drop-in replacement for `rasterizer.render_batch` (TPU kernel)."""
     inst = assets.select(obj_ids)
 
-    fd_all, verts_cam_all = jax.vmap(
-        lambda vtx, f, fm, T, Kb: _face_screen_data(vtx, f, fm, T, Kb)
-    )(inst.vertices, inst.faces, inst.faces_mask, TCO, K)
+    fd_all, _ = jax.vmap(_face_screen_data)(
+        inst.vertices, inst.faces, inst.faces_mask, TCO, K
+    )
 
-    face_id_sorted, _, perm = zbuffer_pallas(
-        fd_all.u, fd_all.v, fd_all.inv_z, fd_all.valid, resolution,
+    # per-face per-vertex attributes: rgb + camera-frame normals
+    def face_attrs(faces, colors, normals, T):
+        n_cam = normals @ T[:3, :3].T
+        av = jnp.concatenate([colors, n_cam], axis=-1)  # [V, 6]
+        return av[faces]  # [F, 3, 6]
+
+    attrs = jax.vmap(face_attrs)(
+        inst.faces, inst.vertex_colors, inst.vertex_normals, TCO
+    )
+
+    iz, attr = raster_fused_pallas(
+        fd_all.u, fd_all.v, fd_all.inv_z, fd_all.valid, attrs, resolution,
         interpret=interpret,
     )
 
-    def shade_one(fid_img, perm_i, fd_u, fd_v, fd_iz, fd_val, faces, vc, cols,
-                  nrm, T):
-        # shading consumes face data in sorted order to match kernel ids
-        F = fd_u.shape[0]
-        Fp = perm_i.shape[0]
-        padv = Fp - F
-        fd_s = _FaceData(
-            u=jnp.pad(fd_u, ((0, padv), (0, 0)))[perm_i],
-            v=jnp.pad(fd_v, ((0, padv), (0, 0)))[perm_i],
-            inv_z=jnp.pad(fd_iz, ((0, padv), (0, 0)), constant_values=1.0)[perm_i],
-            valid=jnp.pad(fd_val, (0, padv))[perm_i],
-        )
-        faces_s = jnp.pad(faces, ((0, padv), (0, 0)))[perm_i]
-        return _shade(
-            fid_img, fd_s, faces_s, vc, cols, nrm, T,
-            light_ambient, light_diffuse,
-        )
-
-    return jax.vmap(shade_one)(
-        face_id_sorted, perm, fd_all.u, fd_all.v, fd_all.inv_z, fd_all.valid,
-        inst.faces, verts_cam_all, inst.vertex_colors, inst.vertex_normals, TCO,
+    hit = iz > 0
+    depth = jnp.where(hit, 1.0 / jnp.maximum(iz, 1e-12), 0.0)
+    rgb = jnp.moveaxis(attr[:, 0:3], 1, -1)  # [B, H, W, 3]
+    n = jnp.moveaxis(attr[:, 3:6], 1, -1)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+    n = jnp.where(n[..., 2:3] > 0, -n, n)
+    lambert = jnp.maximum(-n[..., 2], 0.0)
+    shade = jnp.clip(light_ambient + light_diffuse * lambert, 0.0, 1.0)
+    rgb = jnp.clip(rgb * shade[..., None], 0.0, 1.0)
+    hit_f = hit[..., None]
+    return RenderOutput(
+        rgb=jnp.where(hit_f, rgb, 0.0),
+        depth=depth,
+        mask=hit,
+        normals=jnp.where(hit_f, n, 0.0),
     )

@@ -64,3 +64,20 @@ def test_crop_images_depth_invalidation():
     assert np.all(crops[0, 3, :, 5:] > 0.0)
     # rgb untouched by the depth mask
     assert np.all(crops[0, :3] > 0.0)
+
+
+def test_matmul_crop_matches_gather():
+    from happypose_tpu.ops.crop_resize import roi_align_matmul
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(2)
+    images = rs.rand(3, 4, 24, 32).astype(np.float32)
+    boxes = np.array(
+        [[4.5, 3.2, 20.0, 18.7], [-2.0, 5.0, 35.0, 30.0], [0.0, 0.0, 32.0, 24.0]],
+        np.float32,
+    )
+    a = np.asarray(roi_align(jnp.asarray(images), jnp.asarray(boxes), (8, 10), 4))
+    b = np.asarray(
+        roi_align_matmul(jnp.asarray(images), jnp.asarray(boxes), (8, 10), 4)
+    )
+    np.testing.assert_allclose(a, b, atol=2e-5)
