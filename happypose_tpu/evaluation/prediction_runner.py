@@ -1,0 +1,133 @@
+"""Per-frame prediction loop + evaluation orchestration.
+
+Parity targets:
+- `PredictionRunner.get_predictions` (frame shard -> ObservationTensor ->
+  gt/external detections -> run_inference_pipeline -> tagged predictions):
+  /root/reference/happypose/pose_estimators/megapose/evaluation/
+  prediction_runner.py:52-291
+- `run_eval`: megapose/evaluation/evaluation.py:79-277.
+
+Detections are padded to a fixed per-frame budget so every frame reuses one
+compiled pipeline; results gather into plain numpy dicts (the multi-host
+variant all-gathers fixed-shape arrays instead of the reference's
+file-round-trip `gather_distributed`).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from happypose_tpu.datasets.bop import BOPSceneDataset, SceneObservation
+from happypose_tpu.datasets.samplers import DistributedSceneSampler
+from happypose_tpu.inference.pose_estimator import PoseEstimator
+from happypose_tpu.inference.types import DetectionBatch, ObservationBatch
+from happypose_tpu.meshes.database import MeshDataBase
+
+
+@dataclass
+class PredictionRunner:
+    """Runs the inference pipeline over a (sharded) scene dataset."""
+
+    scene_ds: BOPSceneDataset
+    estimator: PoseEstimator
+    mesh_db: MeshDataBase
+    detection_type: str = "gt"  # gt | external
+    min_visib_fract: float = 0.05
+    max_detections: int = 8
+    external_detections: Optional[Dict] = None  # keyed (scene_id, view_id)
+    n_replicas: int = 1
+    rank: int = 0
+
+    def _detections_for(self, obs: SceneObservation) -> Optional[DetectionBatch]:
+        if self.detection_type == "gt":
+            if obs.obj_labels is None:
+                return None
+            keep = [
+                i
+                for i in range(len(obs.obj_labels))
+                if (obs.visib_fract is None or obs.visib_fract[i] > self.min_visib_fract)
+                and obs.obj_labels[i] in self.mesh_db.label_to_id
+            ]
+            if not keep:
+                return None
+            boxes = obs.bboxes[keep]
+            ids = self.mesh_db.ids_of([obs.obj_labels[i] for i in keep])
+            return DetectionBatch.from_numpy(boxes=boxes, obj_ids=ids)
+        if self.detection_type == "external":
+            det = self.external_detections.get((obs.scene_id, obs.view_id))
+            if det is None:
+                return None
+            return DetectionBatch.from_numpy(
+                boxes=np.asarray(det["boxes"], np.float32),
+                obj_ids=self.mesh_db.ids_of(det["labels"]),
+                scores=np.asarray(det.get("scores"), np.float32)
+                if "scores" in det
+                else None,
+            )
+        raise ValueError(self.detection_type)
+
+    def get_predictions(self) -> Dict[str, List[dict]]:
+        """Returns {"final": [per-frame dicts], ...} with numpy results."""
+        sampler = DistributedSceneSampler(
+            len(self.scene_ds), self.n_replicas, self.rank, shuffle=False
+        )
+        out: Dict[str, List[dict]] = {"final": []}
+        for idx in sampler:
+            obs = self.scene_ds[idx]
+            det = self._detections_for(obs)
+            if det is None:
+                continue
+            det = DetectionBatch.pad(det, self.max_detections)
+            obs_batch = ObservationBatch.from_numpy(
+                obs.rgb, obs.K, depth=obs.depth
+            )
+            t0 = time.time()
+            results = self.estimator.run_inference_pipeline(obs_batch, det)
+            final = results["final"]
+            elapsed = time.time() - t0
+            valid = np.asarray(final.valid)
+            out["final"].append(
+                {
+                    "scene_id": obs.scene_id,
+                    "view_id": obs.view_id,
+                    "poses": np.asarray(final.poses)[valid],
+                    "obj_ids": np.asarray(final.obj_ids)[valid],
+                    "scores": np.asarray(final.pose_logits)[valid],
+                    "time": elapsed,
+                }
+            )
+        return out
+
+
+def run_eval(
+    runner: PredictionRunner,
+    meter,
+    obj_dataset=None,
+) -> Dict[str, float]:
+    """Predictions -> matched against dataset GT via the meter -> summary."""
+    preds = runner.get_predictions()
+    frame_index = {
+        (s, v): i for i, (s, v) in enumerate(runner.scene_ds.frames)
+    }
+    for rec in preds["final"]:
+        idx = frame_index.get((rec["scene_id"], rec["view_id"]))
+        if idx is None:
+            continue
+        obs = runner.scene_ds[idx]
+        if obs.obj_labels is None:
+            continue
+        gt_ids = runner.mesh_db.ids_of(obs.obj_labels)
+        meter.add(
+            TCO_pred=rec["poses"],
+            pred_obj_ids=rec["obj_ids"],
+            pred_scores=rec["scores"],
+            pred_group=np.full(len(rec["poses"]), rec["view_id"]),
+            TCO_gt=obs.TWO,
+            gt_obj_ids=gt_ids,
+            gt_group=np.full(len(gt_ids), rec["view_id"]),
+        )
+    return meter.summary()

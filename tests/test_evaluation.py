@@ -1,0 +1,293 @@
+"""Evaluation-stack tests: AUC oracle values, meter matching, BOP dataset
+round-trip through our own writer, and a full gt-detection eval run on a
+synthetic BOP scene (prediction = gt + small noise -> near-perfect scores;
+prediction = garbage -> near-zero scores)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from happypose_tpu.datasets.bop import (
+    BOPObjectDataset,
+    BOPSceneDataset,
+    SceneObservation,
+    write_bop_scene,
+)
+from happypose_tpu.datasets.samplers import DistributedSceneSampler
+from happypose_tpu.evaluation.bop_export import load_bop_csv, save_bop_csv
+from happypose_tpu.evaluation.meters import (
+    PoseErrorMeter,
+    compute_auc_posecnn,
+    match_poses,
+)
+from happypose_tpu.meshes.io import make_box_mesh, make_uv_sphere, save_ply
+from happypose_tpu.ops.rasterizer import render_batch
+
+
+class TestAUC:
+    def test_perfect(self):
+        assert compute_auc_posecnn(np.zeros(10)) > 0.999
+
+    def test_all_bad(self):
+        assert np.isnan(compute_auc_posecnn(np.full(10, 1.0)))
+
+    def test_known_value(self):
+        # half at 0, half beyond threshold: recall plateaus at 0.5
+        errors = np.array([0.0] * 5 + [1.0] * 5)
+        auc = compute_auc_posecnn(errors)
+        assert 0.45 < auc < 0.55
+
+    def test_linear(self):
+        # uniform errors in [0, 0.1]: AUC ~ 0.5 (triangle area under curve)
+        errors = np.linspace(0.001, 0.099, 50)
+        auc = compute_auc_posecnn(errors)
+        assert 0.45 < auc < 0.58
+
+
+class TestMatching:
+    def test_greedy_1_1(self):
+        pred_keys = np.array([[0, 1], [0, 1], [0, 2]])
+        gt_keys = np.array([[0, 1], [0, 2]])
+        scores = np.array([0.9, 0.8, 0.7])
+        errors = np.array(
+            [[0.1, np.inf], [0.05, np.inf], [np.inf, 0.2]]
+        )
+        m = match_poses(pred_keys, gt_keys, scores, errors)
+        # best-scored pred (idx 0) takes gt 0; pred 1 unmatched; pred 2 -> gt 1
+        assert (0, 0) in m and (2, 1) in m and len(m) == 2
+
+
+@pytest.fixture(scope="module")
+def bop_fixture(tmp_path_factory):
+    """Synthetic 2-object BOP dataset: models dir + 1 scene x 3 frames."""
+    root = tmp_path_factory.mktemp("bop")
+    models = root / "models"
+    models.mkdir()
+    # meshes saved in mm (BOP convention)
+    sphere = make_uv_sphere(radius=50.0, n_lat=12, n_lon=16)  # 50mm
+    box = make_box_mesh((40.0, 30.0, 50.0))
+    save_ply(models / "obj_000001.ply", sphere)
+    save_ply(models / "obj_000002.ply", box)
+    import json
+
+    (models / "models_info.json").write_text(
+        json.dumps(
+            {
+                "1": {
+                    "diameter": 100.0,
+                    "symmetries_continuous": [
+                        {"axis": [0, 0, 1], "offset": [0, 0, 0]}
+                    ],
+                },
+                "2": {"diameter": 141.4},
+            }
+        )
+    )
+
+    obj_ds = BOPObjectDataset(models)
+    assets = obj_ds.mesh_db.render_assets()
+
+    H, W = 120, 160
+    K = np.eye(3, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 200.0
+    K[0, 2], K[1, 2] = W / 2, H / 2
+
+    split = root / "test"
+    split.mkdir()
+    frames = []
+    rng = np.random.RandomState(0)
+    for v in range(3):
+        label = ["obj_000001", "obj_000002"][v % 2]
+        TCO = np.eye(4, dtype=np.float32)
+        TCO[:3, 3] = [rng.uniform(-0.03, 0.03), rng.uniform(-0.02, 0.02), 0.45]
+        out = render_batch(
+            assets,
+            jnp.asarray([obj_ds.mesh_db.id_of(label)], jnp.int32),
+            jnp.asarray(TCO)[None],
+            jnp.asarray(K)[None],
+            resolution=(H, W),
+        )
+        mask = np.asarray(out.mask[0])
+        ys, xs = np.where(mask)
+        frames.append(
+            SceneObservation(
+                rgb=(np.asarray(out.rgb[0]) * 255).astype(np.uint8),
+                K=K,
+                depth=np.asarray(out.depth[0]),
+                obj_labels=[label],
+                TWO=TCO[None],
+                bboxes=np.array(
+                    [[xs.min(), ys.min(), xs.max(), ys.max()]], np.float32
+                ),
+                visib_fract=np.array([1.0]),
+                scene_id=1,
+                view_id=v,
+            )
+        )
+    write_bop_scene(split, 1, frames)
+    return dict(root=root, obj_ds=obj_ds, frames=frames, split=split)
+
+
+class TestBOPDatasets:
+    def test_object_dataset(self, bop_fixture):
+        obj_ds = bop_fixture["obj_ds"]
+        assert obj_ds.labels == ["obj_000001", "obj_000002"]
+        # sphere has continuous symmetry -> 8 sampled poses
+        assert obj_ds.mesh_db.symmetries["obj_000001"].shape[0] == 8
+        assert obj_ds.is_symmetric.tolist() == [True, False]
+        # meshes scaled to meters
+        d = obj_ds.mesh_db.meshes["obj_000001"].diameter
+        assert 0.09 < d < 0.11
+
+    def test_scene_round_trip(self, bop_fixture):
+        ds = BOPSceneDataset(bop_fixture["split"], load_depth=True)
+        assert len(ds) == 3
+        obs = ds[0]
+        orig = bop_fixture["frames"][0]
+        np.testing.assert_array_equal(obs.rgb, orig.rgb)
+        np.testing.assert_allclose(obs.K, orig.K, atol=1e-5)
+        np.testing.assert_allclose(obs.TWO, orig.TWO, atol=1e-5)
+        np.testing.assert_allclose(obs.bboxes, orig.bboxes, atol=1e-5)
+        np.testing.assert_allclose(obs.depth, orig.depth, atol=1e-3)
+        assert obs.obj_labels == orig.obj_labels
+
+    def test_sampler_partition(self):
+        parts = [
+            list(DistributedSceneSampler(10, 3, r, shuffle=True, seed=1))
+            for r in range(3)
+        ]
+        all_idx = sorted(sum(parts, []))
+        assert all_idx == list(range(10))
+
+
+class TestMeter:
+    def test_gt_plus_noise_scores_high(self, bop_fixture):
+        obj_ds = bop_fixture["obj_ds"]
+        bm = obj_ds.mesh_db.batched(n_points=200)
+        meter = PoseErrorMeter(meshes=bm, is_symmetric=obj_ds.is_symmetric)
+        rng = np.random.RandomState(1)
+        for f in bop_fixture["frames"]:
+            TCO_pred = f.TWO.copy()
+            TCO_pred[:, :3, 3] += rng.normal(0, 0.001, 3)  # 1mm noise
+            ids = obj_ds.mesh_db.ids_of(f.obj_labels)
+            meter.add(
+                TCO_pred=TCO_pred,
+                pred_obj_ids=ids,
+                pred_scores=np.ones(1),
+                pred_group=np.full(1, f.view_id),
+                TCO_gt=f.TWO,
+                gt_obj_ids=ids,
+                gt_group=np.full(1, f.view_id),
+            )
+        s = meter.summary()
+        assert s["n_matched"] == 3
+        assert s["AUC/ADD(-S)"] > 0.9
+        assert s["ADD(-S)<0.1d"] == 1.0
+        assert s["mean_trans_err"] < 0.005
+
+    def test_garbage_scores_low(self, bop_fixture):
+        obj_ds = bop_fixture["obj_ds"]
+        bm = obj_ds.mesh_db.batched(n_points=200)
+        meter = PoseErrorMeter(meshes=bm, is_symmetric=obj_ds.is_symmetric)
+        for f in bop_fixture["frames"]:
+            TCO_pred = f.TWO.copy()
+            TCO_pred[:, :3, 3] += 1.0  # 1m off -> spheres don't overlap
+            ids = obj_ds.mesh_db.ids_of(f.obj_labels)
+            meter.add(
+                TCO_pred=TCO_pred,
+                pred_obj_ids=ids,
+                pred_scores=np.ones(1),
+                pred_group=np.full(1, f.view_id),
+                TCO_gt=f.TWO,
+                gt_obj_ids=ids,
+                gt_group=np.full(1, f.view_id),
+            )
+        s = meter.summary()
+        assert s["n_matched"] == 0
+
+    def test_symmetry_aware_add(self, bop_fixture):
+        """Rotating the symmetric sphere about z must not hurt ADD(-S)."""
+        obj_ds = bop_fixture["obj_ds"]
+        bm = obj_ds.mesh_db.batched(n_points=200)
+        meter = PoseErrorMeter(meshes=bm, is_symmetric=obj_ds.is_symmetric)
+        f = bop_fixture["frames"][0]  # sphere frame
+        Rz = np.eye(4, dtype=np.float32)
+        th = 2 * np.pi / 16
+        Rz[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+        TCO_pred = (f.TWO[0] @ Rz)[None]
+        ids = obj_ds.mesh_db.ids_of(f.obj_labels)
+        meter.add(
+            TCO_pred=TCO_pred, pred_obj_ids=ids, pred_scores=np.ones(1),
+            pred_group=np.zeros(1), TCO_gt=f.TWO, gt_obj_ids=ids,
+            gt_group=np.zeros(1),
+        )
+        s = meter.summary()
+        assert s["mean_ADD-S"] < 0.002  # sphere surface invariant
+
+
+class TestBOPExport:
+    def test_csv_round_trip(self, tmp_path):
+        rng = np.random.RandomState(0)
+        poses = np.tile(np.eye(4), (3, 1, 1))
+        poses[:, :3, 3] = rng.uniform(-1, 1, (3, 3))
+        p = tmp_path / "preds.csv"
+        save_bop_csv(
+            p, poses, np.array([1, 2, 1]), np.array([5, 5, 6]),
+            np.array([0, 1, 2]), np.array([0.9, 0.8, 0.7]),
+        )
+        back = load_bop_csv(p)
+        np.testing.assert_allclose(back["poses"], poses, atol=1e-6)
+        np.testing.assert_array_equal(back["obj_ids"], [1, 2, 1])
+        np.testing.assert_allclose(back["scores"], [0.9, 0.8, 0.7])
+
+
+class TestPredictionRunner:
+    def test_full_eval_loop(self, bop_fixture):
+        """gt detections -> untrained (identity) refiner pipeline -> meter.
+        Translation comes from box autodepth so it lands near gt; rotation is
+        arbitrary -> matching must still produce 3 matches."""
+        import jax
+        from happypose_tpu.evaluation.prediction_runner import (
+            PredictionRunner,
+            run_eval,
+        )
+        from happypose_tpu.inference import InferenceConfig, PoseEstimator
+        from happypose_tpu.models import PosePredictor, PosePredictorConfig
+
+        obj_ds = bop_fixture["obj_ds"]
+        ds = BOPSceneDataset(bop_fixture["split"])
+        bm = obj_ds.mesh_db.batched(n_points=128)
+        assets = obj_ds.mesh_db.render_assets()
+        cfg = PosePredictorConfig(
+            backbone="wide_resnet18", render_size=(60, 80),
+            renderer="reference",
+        )
+        model = PosePredictor(cfg)
+        obs0 = ds[0]
+        from happypose_tpu.inference.types import (
+            DetectionBatch, ObservationBatch,
+        )
+        ob = ObservationBatch.from_numpy(obs0.rgb, obs0.K)
+        det0 = DetectionBatch.from_numpy(
+            obs0.bboxes, obj_ds.mesh_db.ids_of(obs0.obj_labels)
+        )
+        import jax.numpy as jnp
+        TCO0 = jnp.eye(4)[None].at[:, 2, 3].set(0.5)
+        variables = model.init(
+            jax.random.PRNGKey(0), ob.images, ob.K, det0.obj_ids, TCO0,
+            assets, bm.select(det0.obj_ids),
+        )
+        est = PoseEstimator(
+            refiner=(model, variables), coarse=None, assets=assets,
+            meshes=bm, cfg=InferenceConfig(n_refiner_iterations=1, bsz_objects=4),
+        )
+        runner = PredictionRunner(
+            scene_ds=ds, estimator=est, mesh_db=obj_ds.mesh_db,
+            detection_type="gt", max_detections=4,
+        )
+        meter = PoseErrorMeter(meshes=bm, is_symmetric=obj_ds.is_symmetric)
+        summary = run_eval(runner, meter)
+        assert summary["n_gt"] == 3
+        assert summary["n_matched"] == 3  # autodepth init overlaps gt spheres
+        # translation from autodepth on a gt box is decent
+        assert summary["mean_trans_err"] < 0.15
