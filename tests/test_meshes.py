@@ -89,3 +89,30 @@ def test_database_aabb_mode():
     assert bm.points.shape == (1, 8, 3)
     np.testing.assert_allclose(np.abs(np.asarray(bm.points[0])),
                                np.tile([0.1, 0.2, 0.3], (8, 1)), atol=1e-6)
+
+
+def test_native_ply_matches_python(tmp_path):
+    """The C++ fast path must parse identically to the Python parser."""
+    from happypose_tpu.meshes.io import load_ply
+    import happypose_tpu.csrc as csrc
+
+    mesh = make_uv_sphere(radius=0.07, n_lat=20, n_lon=30)
+    p = tmp_path / "m.ply"
+    save_ply(p, mesh)
+    native = csrc.load_ply_native(p)
+    if native is None:
+        import pytest
+
+        pytest.skip("native build unavailable")
+    orig = csrc.load_ply_native
+    csrc.load_ply_native = lambda _: None
+    try:
+        py = load_ply(p)
+    finally:
+        csrc.load_ply_native = orig
+    np.testing.assert_allclose(native["vertices"], py.vertices, atol=0)
+    np.testing.assert_array_equal(native["faces"], py.faces)
+    np.testing.assert_allclose(
+        native["colors"].astype(np.float32) / 255.0, py.vertex_colors,
+        atol=1e-6,
+    )

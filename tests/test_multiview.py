@@ -158,3 +158,32 @@ def test_bundle_adjustment_recovers_scene(scene):
         TCO_model[:, :3, 3] - cands.poses[keep][:, :3, 3], axis=-1
     )
     assert t_err.max() < 0.03, t_err
+
+
+def test_scene_predictor_end_to_end(scene):
+    """MultiviewScenePredictor: candidates -> matched scene state -> per-view
+    reprojections close to the original candidates."""
+    from happypose_tpu.multiview.scene_predictor import MultiviewScenePredictor
+
+    pred = MultiviewScenePredictor(
+        scene["bm"], score_th=0.5, n_ransac_iter=30, dist_threshold=0.02,
+        n_min_inliers=2, ba_n_iterations=25,
+    )
+    state = pred.predict_scene_state(scene["cands"], scene["K"])
+    assert state is not None
+    assert state.TWO.shape[0] == 3  # three physical objects
+    assert sorted(state.obj_ids.tolist()) == [0, 1, 2]
+    per_view = state.predictions_per_view()
+    assert set(per_view.keys()) == {0, 1, 2}
+    # reprojected predictions close to the noisy candidates
+    cands = scene["cands"]
+    v0 = per_view[0]
+    for o in range(3):
+        # find the candidate for object obj_ids[o] in view 0
+        ci = np.where(
+            (cands.view_ids == 0) & (cands.obj_ids == v0["obj_ids"][o])
+        )[0][0]
+        t_err = np.linalg.norm(
+            v0["TCO"][o][:3, 3] - cands.poses[ci][:3, 3]
+        )
+        assert t_err < 0.05, t_err

@@ -123,3 +123,36 @@ def test_mixed_objects_batch():
     assert (m[0] != m[1]).any()
     np.testing.assert_array_equal(m[0], m[2])
     np.testing.assert_array_equal(m[1], m[3])
+
+
+def test_scene_compositing():
+    """Two overlapping objects in one scene: nearer object wins per pixel."""
+    import jax.numpy as jnp
+    from happypose_tpu.ops.scene_renderer import render_scenes
+
+    db, assets, K, TCO = _setup()
+    # sphere in front (z=0.4) centered; box behind (z=0.55) shifted +x so it
+    # peeks out on the right of the sphere
+    T = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    T[0, 2, 3] = 0.4
+    T[1, 0, 3] = 0.05
+    T[1, 2, 3] = 0.55
+    out = render_scenes(
+        assets,
+        jnp.asarray([db.id_of("sphere"), db.id_of("box")], jnp.int32),
+        jnp.asarray([0, 0], jnp.int32),
+        jnp.asarray(T),
+        jnp.asarray(np.asarray(K)[:2]),
+        jnp.ones(2, bool),
+        n_scenes=1,
+        resolution=(H, W),
+    )
+    depth = np.asarray(out.depth[0])
+    ci, cj = H // 2, W // 2
+    # center: sphere front surface at 0.35 (sphere occludes the box)
+    np.testing.assert_allclose(depth[ci, cj], 0.4 - 0.05, atol=3e-3)
+    # right of the sphere silhouette: box front face at 0.51
+    sphere_r_px = 300.0 * 0.05 / np.sqrt(0.4**2 - 0.05**2)  # ~37.8
+    probe_u = cj + int(sphere_r_px) + 5
+    assert depth[ci, probe_u] > 0.45
+    np.testing.assert_allclose(depth[ci, probe_u], 0.51, atol=5e-3)
