@@ -259,6 +259,11 @@ class PosePredictor(nn.Module):
             KV_crop = KV_crop.at[:, 0].set(K_crop)
 
         renders = self._render_views(assets, obj_ids, TCV_O, KV_crop)
+        # the renderer is non-differentiable (as in the reference); no
+        # gradient ever flows through it (TCO_input is stop-gradient'd), and
+        # the explicit stop_gradient keeps autodiff from materializing a
+        # transpose of the pallas kernel
+        renders = jax.lax.stop_gradient(renders)
         images_crop, renders = self._normalize_images(images_crop, renders, tCR)
 
         x = jnp.concatenate([images_crop, renders], axis=1)

@@ -113,7 +113,8 @@ def main(argv=None) -> int:
     model = FCOSDetector(cfg)
     rng = np.random.RandomState(0)
     x0, t0 = make_batch(rng)
-    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), x0)
     tx = optax.adam(args.lr)
     params = variables["params"]
     bstats = variables.get("batch_stats", {})

@@ -131,7 +131,8 @@ def main(argv=None) -> int:
         loss_fn = make_coarse_loss_fn(model, assets, bm)
 
     example = next(iter(batches(0)))
-    variables = model.init(
+    # jitted init: eager tracing through a remote-TPU tunnel costs minutes
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), example.images, example.K, example.obj_ids,
         example.TCO_gt, assets, bm.select(example.obj_ids),
     )

@@ -115,7 +115,7 @@ def load_named_model(
         )
         ids = jnp.zeros((B,), jnp.int32)
         TCO = jnp.broadcast_to(jnp.eye(4), (B, 4, 4)).at[:, 2, 3].set(0.5)
-        variables = model.init(
+        variables = jax.jit(model.init)(
             jax.random.PRNGKey(seed), images, K, ids, TCO, assets,
             meshes.select(ids),
         )
