@@ -1,0 +1,139 @@
+"""Measure refinement quality of a trained refiner checkpoint.
+
+Generates held-out synthetic scenes, perturbs the ground-truth poses with
+the training noise model, refines, and reports pose errors before/after
+(translation, rotation, ADD, and the reference's `log6` magnitude — its
+end-to-end test metric, tests/test_cosypose_inference.py:119).
+
+Usage:
+  python -m happypose_tpu.scripts.eval_refiner_checkpoint \
+      --run-dir /tmp/refiner --n-batches 8 --n-iterations 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+from happypose_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--run-dir", type=Path, required=True)
+    p.add_argument("--n-batches", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--n-iterations", type=int, default=3)
+    p.add_argument("--image-size", type=int, nargs=2, default=(120, 160))
+    p.add_argument("--seed", type=int, default=12345)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from happypose_tpu.lib3d.rotations import geodesic_distance, log_SE3_norm
+    from happypose_tpu.lib3d.distances import compute_ADD_L1_loss
+    from happypose_tpu.lib3d.transforms import add_pose_noise
+    from happypose_tpu.meshes.database import MeshDataBase
+    from happypose_tpu.meshes.io import make_box_mesh, make_uv_sphere
+    from happypose_tpu.models import PosePredictor, PosePredictorConfig
+    from happypose_tpu.training.synth_data import make_synth_batch
+    from happypose_tpu.utils.checkpoint import load_checkpoint
+
+    cfg_saved = json.loads((args.run_dir / "config.json").read_text())
+    on_tpu = jax.default_backend() not in ("cpu",)
+    renderer = "pallas" if on_tpu else "reference"
+
+    db = MeshDataBase(meshes={
+        "sphere": make_uv_sphere(0.04, 16, 24),
+        "box": make_box_mesh((0.035, 0.025, 0.045)),
+    })
+    assets = db.render_assets()
+    bm = db.batched(n_points=256)
+    H, W = args.image_size
+    K1 = jnp.asarray([[300.0, 0, W / 2], [0, 300.0, H / 2], [0, 0, 1.0]])
+
+    cfg = PosePredictorConfig(
+        backbone=cfg_saved.get("backbone", "wide_resnet18"),
+        render_size=tuple(cfg_saved.get("render_size", (120, 160))),
+        renderer=renderer,
+        compute_dtype="bfloat16" if cfg_saved.get("bf16") else "float32",
+    )
+    model = PosePredictor(cfg)
+    batch0 = make_synth_batch(
+        jax.random.PRNGKey(0), assets, K1, n_objects=2,
+        batch_size=args.batch_size, resolution=(H, W), renderer=renderer,
+    )
+    inst0 = bm.select(batch0.obj_ids)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), batch0.images, batch0.K, batch0.obj_ids,
+        batch0.TCO_gt, assets, inst0,
+    )
+    state_tmpl = {"params": variables["params"],
+                  "batch_stats": variables.get("batch_stats", {})}
+    # restore only model variables from the training state
+    from flax import serialization
+
+    raw = (args.run_dir / "checkpoint.msgpack").read_bytes()
+    full = serialization.msgpack_restore(raw)
+    variables = {
+        "params": serialization.from_state_dict(
+            state_tmpl["params"], full["params"]
+        ),
+        "batch_stats": serialization.from_state_dict(
+            state_tmpl["batch_stats"], full["batch_stats"]
+        ),
+    }
+
+    @jax.jit
+    def refine(batch, rng):
+        TCO_init = add_pose_noise(rng, batch.TCO_gt)
+        inst = bm.select(batch.obj_ids)
+        out = model.apply(
+            variables, batch.images, batch.K, batch.obj_ids, TCO_init,
+            assets, inst, n_iterations=args.n_iterations,
+        )
+        return TCO_init, out.TCO_output[-1]
+
+    stats = {"t_before": [], "t_after": [], "r_before": [], "r_after": [],
+             "log6_before": [], "log6_after": [], "add_before": [],
+             "add_after": []}
+    for b in range(args.n_batches):
+        rngs = jax.random.split(jax.random.PRNGKey(args.seed + b), 2)
+        batch = make_synth_batch(
+            rngs[0], assets, K1, n_objects=2, batch_size=args.batch_size,
+            resolution=(H, W), renderer=renderer,
+        )
+        TCO_init, TCO_ref = refine(batch, rngs[1])
+        gt = batch.TCO_gt
+        inst = bm.select(batch.obj_ids)
+        for tag, T in (("before", TCO_init), ("after", TCO_ref)):
+            stats[f"t_{tag}"].append(
+                np.asarray(jnp.linalg.norm(T[:, :3, 3] - gt[:, :3, 3], axis=-1))
+            )
+            stats[f"r_{tag}"].append(
+                np.asarray(
+                    geodesic_distance(T[:, :3, :3], gt[:, :3, :3]) * 180 / np.pi
+                )
+            )
+            stats[f"log6_{tag}"].append(np.asarray(log_SE3_norm(T, gt)))
+            stats[f"add_{tag}"].append(
+                np.asarray(
+                    compute_ADD_L1_loss(gt, T, inst.points, inst.points_mask)
+                )
+            )
+    summary = {k: float(np.concatenate(v).mean()) for k, v in stats.items()}
+    summary["n_samples"] = args.n_batches * args.batch_size
+    summary["n_iterations"] = args.n_iterations
+    logger.info(json.dumps(summary, indent=1))
+    (args.run_dir / "refiner_eval.json").write_text(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

