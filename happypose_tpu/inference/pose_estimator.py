@@ -357,8 +357,52 @@ class PoseEstimator:
                 coarse_logits=final.coarse_logits,
                 pose_logits=final.scores, valid=final.valid,
             )
+        if cfg.run_depth_refiner and obs.depth is not None:
+            final = self.run_depth_refiner(obs, final)
+            results["depth_refined"] = final
         results["final"] = final
         return results
+
+    def run_depth_refiner(
+        self, obs: ObservationBatch, estimates: PoseEstimateBatch
+    ) -> PoseEstimateBatch:
+        """ICP against the observed depth (parity:
+        megapose/inference/pose_estimator.py:497-513,633-642)."""
+        from happypose_tpu.inference.icp_refiner import ICPRefiner
+        from happypose_tpu.ops.rasterizer import render_batch
+        from happypose_tpu.ops.rasterizer_pallas import render_batch_pallas
+
+        H, W = obs.rgb.shape[-2:]
+        # refine at a reduced depth resolution for fixed cost
+        scale = max(1, max(H, W) // 160)
+        h, w = H // scale, W // scale
+        depth = obs.depth[:, 0, ::scale, ::scale]
+        K_scaled = obs.K.at[:, :2].divide(float(scale))
+        render_fn = (
+            render_batch_pallas
+            if self.refiner_model is not None
+            and self.refiner_model.cfg.renderer == "pallas"
+            else render_batch
+        )
+        icp = ICPRefiner(self.assets, render_fn, resolution=(h, w))
+        poses = icp.refine(
+            estimates.obj_ids,
+            estimates.poses,
+            K_scaled[estimates.batch_im_ids],
+            depth[estimates.batch_im_ids],
+        )
+        # only valid rows move
+        poses = jnp.where(
+            estimates.valid[:, None, None], poses, estimates.poses
+        )
+        return PoseEstimateBatch(
+            poses=poses, K=estimates.K, obj_ids=estimates.obj_ids,
+            batch_im_ids=estimates.batch_im_ids,
+            instance_ids=estimates.instance_ids,
+            hypothesis_ids=estimates.hypothesis_ids,
+            scores=estimates.scores, coarse_logits=estimates.coarse_logits,
+            pose_logits=estimates.pose_logits, valid=estimates.valid,
+        )
 
     def _forward_coarse_pose_model(self, obs, estimates):
         """CosyPose coarse = a pose model run n_coarse_iterations."""

@@ -319,3 +319,16 @@ def make_uv_sphere(radius=0.05, n_lat=16, n_lon=24, color=(0.2, 0.6, 0.3)) -> Me
         faces=np.asarray(fs, np.int32),
         vertex_colors=np.tile(np.asarray([color], np.float32), (len(v), 1)),
     )
+
+
+def position_colored(mesh: Mesh) -> Mesh:
+    """Color vertices by normalized position (r,g,b <- x,y,z).
+
+    Texture-free meshes make rotation unobservable to render-and-compare
+    models (a uniform sphere looks identical under any rotation); this
+    deterministic coloring breaks the symmetry for synthetic training."""
+    v = mesh.vertices
+    lo, hi = v.min(0), v.max(0)
+    c = (v - lo) / np.maximum(hi - lo, 1e-9)
+    return Mesh(vertices=v, faces=mesh.faces,
+                vertex_colors=c.astype(np.float32))

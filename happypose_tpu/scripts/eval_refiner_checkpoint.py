@@ -40,7 +40,9 @@ def main(argv=None) -> int:
     from happypose_tpu.lib3d.distances import compute_ADD_L1_loss
     from happypose_tpu.lib3d.transforms import add_pose_noise
     from happypose_tpu.meshes.database import MeshDataBase
-    from happypose_tpu.meshes.io import make_box_mesh, make_uv_sphere
+    from happypose_tpu.meshes.io import (
+        make_box_mesh, make_uv_sphere, position_colored,
+    )
     from happypose_tpu.models import PosePredictor, PosePredictorConfig
     from happypose_tpu.training.synth_data import make_synth_batch
     from happypose_tpu.utils.checkpoint import load_checkpoint
@@ -50,8 +52,8 @@ def main(argv=None) -> int:
     renderer = "pallas" if on_tpu else "reference"
 
     db = MeshDataBase(meshes={
-        "sphere": make_uv_sphere(0.04, 16, 24),
-        "box": make_box_mesh((0.035, 0.025, 0.045)),
+        "sphere": position_colored(make_uv_sphere(0.04, 16, 24)),
+        "box": position_colored(make_box_mesh((0.035, 0.025, 0.045))),
     })
     assets = db.render_assets()
     bm = db.batched(n_points=256)

@@ -69,12 +69,14 @@ def main(argv=None) -> int:
     # ---- data ----
     if args.data == "synth":
         from happypose_tpu.meshes.database import MeshDataBase
-        from happypose_tpu.meshes.io import make_box_mesh, make_uv_sphere
+        from happypose_tpu.meshes.io import (
+            make_box_mesh, make_uv_sphere, position_colored,
+        )
         from happypose_tpu.training.synth_data import make_synth_batch
 
         db = MeshDataBase(meshes={
-            "sphere": make_uv_sphere(0.04, 16, 24),
-            "box": make_box_mesh((0.035, 0.025, 0.045)),
+            "sphere": position_colored(make_uv_sphere(0.04, 16, 24)),
+            "box": position_colored(make_box_mesh((0.035, 0.025, 0.045))),
         })
         mesh_db = db
         K1 = jnp.asarray(
