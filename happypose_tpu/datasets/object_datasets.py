@@ -11,9 +11,7 @@ when possible), so a 20k-object registry doesn't parse 20k files upfront.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Union
-
-import numpy as np
+from typing import Dict, List, Union
 
 from happypose_tpu.meshes.database import MeshDataBase
 from happypose_tpu.meshes.io import Mesh, load_mesh

@@ -16,9 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from happypose_tpu.datasets.augmentations import (
-    background_replace,
     crop_resize_to_aspect,
-    depth_augment,
     rgb_jitter,
 )
 from happypose_tpu.datasets.bop import BOPSceneDataset

@@ -6,7 +6,7 @@ np.array_split per rank)."""
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List
 
 import numpy as np
 

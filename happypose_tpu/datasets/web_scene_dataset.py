@@ -14,7 +14,7 @@ import io
 import json
 import tarfile
 from pathlib import Path
-from typing import Iterator, List, Optional, Sequence, Union
+from typing import Iterator, List, Sequence, Union
 
 import numpy as np
 

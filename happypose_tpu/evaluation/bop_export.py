@@ -8,7 +8,7 @@ scene_id, im_id, obj_id, score, R (9 floats, row-major), t (mm), time.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Optional, Union
 
 import numpy as np
 

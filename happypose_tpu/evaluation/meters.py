@@ -24,11 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from happypose_tpu.lib3d.distances import (
-    compute_ADD_L1_loss,
-    dists_add,
-    dists_add_symmetric,
-)
 from happypose_tpu.lib3d.rotations import geodesic_distance
 from happypose_tpu.lib3d.transforms import transform_pts
 from happypose_tpu.meshes.database import BatchedMeshes

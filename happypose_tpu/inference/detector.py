@@ -8,15 +8,13 @@ one_instance_per_class filtering, instance-id assignment.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from happypose_tpu.inference.types import DetectionBatch, ObservationBatch
 from happypose_tpu.models.detector import (
-    DetectorConfig,
     FCOSDetector,
     detector_postprocess,
 )

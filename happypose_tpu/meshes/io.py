@@ -9,7 +9,6 @@ implementation for its tests.
 
 from __future__ import annotations
 
-import struct
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, Optional, Union

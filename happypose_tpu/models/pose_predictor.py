@@ -19,8 +19,8 @@ The coarse hypothesis classifier is this same module with
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, NamedTuple, Optional, Tuple
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

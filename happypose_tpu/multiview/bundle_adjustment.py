@@ -17,18 +17,14 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from happypose_tpu.lib3d.camera import project_points
-from happypose_tpu.lib3d.transforms import (
-    pose9d_to_T,
-    T_to_pose9d,
-    transform_pts,
-)
+from happypose_tpu.lib3d.transforms import pose9d_to_T, T_to_pose9d
 from happypose_tpu.meshes.database import BatchedMeshes
 
 

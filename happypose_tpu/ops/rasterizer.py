@@ -28,7 +28,7 @@ Two-sided rasterization (no backface culling) — mesh winding is untrusted.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

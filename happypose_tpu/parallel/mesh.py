@@ -10,7 +10,7 @@ ride ICI within a slice and DCN across slices.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

@@ -45,7 +45,6 @@ def main(argv=None) -> int:
     )
     from happypose_tpu.models import PosePredictor, PosePredictorConfig
     from happypose_tpu.training.synth_data import make_synth_batch
-    from happypose_tpu.utils.checkpoint import load_checkpoint
 
     cfg_saved = json.loads((args.run_dir / "config.json").read_text())
     on_tpu = jax.default_backend() not in ("cpu",)

@@ -89,9 +89,7 @@ def main(argv=None) -> int:
         make_example(args.example_dir)
 
     from happypose_tpu.datasets.bop import BOPObjectDataset, BOPSceneDataset
-    from happypose_tpu.inference.types import (
-        DetectionBatch, InferenceConfig, ObservationBatch,
-    )
+    from happypose_tpu.inference.types import DetectionBatch, ObservationBatch
     from happypose_tpu.utils.load_model import NAMED_MODELS, load_named_model
     import dataclasses
 

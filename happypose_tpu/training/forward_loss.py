@@ -11,7 +11,7 @@ replaced by jax.random so the whole step is device-resident.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from happypose_tpu.lib3d.rotations import quat_to_rotmat
 from happypose_tpu.lib3d.transforms import make_T
-from happypose_tpu.meshes.database import BatchedMeshes, RenderAssets
+from happypose_tpu.meshes.database import RenderAssets
 from happypose_tpu.ops.rasterizer import render_batch
 from happypose_tpu.ops.rasterizer_pallas import render_batch_pallas
 from happypose_tpu.training.forward_loss import PoseTrainingBatch

@@ -8,7 +8,7 @@ mapped to the TPU runtime: device memory stats come from
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 
