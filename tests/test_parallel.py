@@ -73,3 +73,31 @@ def test_seed_discipline():
     k1 = key_for("train", 0, 5)
     k2 = key_for("train", 0, 6)
     assert not np.array_equal(np.asarray(k1), np.asarray(k2))
+
+
+def test_colmap_round_trip(tmp_path):
+    from happypose_tpu.utils.colmap_io import (
+        Camera, Image, Point3D, read_model, write_model,
+    )
+
+    cams = {1: Camera(1, "PINHOLE", 640, 480,
+                      np.asarray([600.0, 600.0, 320.0, 240.0]))}
+    ims = {
+        2: Image(
+            2, np.asarray([1.0, 0, 0, 0]), np.asarray([0.1, 0.2, 0.3]), 1,
+            "frame0.png", xys=np.asarray([[10.0, 20.0]]),
+            point3D_ids=np.asarray([5]),
+        )
+    }
+    pts = {5: Point3D(5, np.asarray([0.5, -0.1, 2.0]),
+                      np.asarray([200, 100, 50]), 0.7,
+                      np.asarray([2]), np.asarray([0]))}
+    write_model(cams, ims, pts, tmp_path)
+    c2, i2, p2 = read_model(tmp_path)
+    np.testing.assert_allclose(c2[1].params, cams[1].params)
+    np.testing.assert_allclose(i2[2].qvec, ims[2].qvec)
+    np.testing.assert_allclose(i2[2].xys, ims[2].xys)
+    np.testing.assert_allclose(p2[5].xyz, pts[5].xyz)
+    assert p2[5].image_ids.tolist() == [2]
+    # identity quaternion -> TCW rotation identity
+    np.testing.assert_allclose(i2[2].TCW()[:3, :3], np.eye(3), atol=1e-12)
