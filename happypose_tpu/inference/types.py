@@ -103,7 +103,10 @@ class DetectionBatch:
         cur = det.n_rows
         if cur == n:
             return det
-        assert cur < n
+        if cur > n:
+            # keep the n best-scored detections
+            order = np.argsort(-np.asarray(det.scores))[:n]
+            return jax.tree.map(lambda x: x[jnp.asarray(order)], det)
         p = n - cur
 
         def padrow(x):

@@ -47,6 +47,8 @@ def main(argv=None) -> int:
     p.add_argument("--n-iterations", type=int, default=1)
     p.add_argument("--render-size", type=int, nargs=2, default=(120, 160))
     p.add_argument("--image-size", type=int, nargs=2, default=(120, 160))
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="epochs between in-training refiner evals (0=off)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dp", action="store_true", help="data-parallel mesh")
     p.add_argument("--bf16", action="store_true")
@@ -151,6 +153,35 @@ def main(argv=None) -> int:
 
     step_fn = make_train_step(loss_fn, tx, mesh=mesh)
 
+    # in-training eval (reference train_pose.py builds eval bundles): refine
+    # noised gt on a fixed held-out batch, report pose errors
+    eval_fn = None
+    if args.eval_every and args.model_type == "refiner":
+        from happypose_tpu.lib3d.rotations import geodesic_distance
+        from happypose_tpu.lib3d.transforms import add_pose_noise
+
+        eval_batch = next(iter(batches(999983)))
+        eval_rng = jax.random.PRNGKey(424242)
+
+        @jax.jit
+        def eval_fn(variables):
+            TCO_init = add_pose_noise(eval_rng, eval_batch.TCO_gt)
+            inst = bm.select(eval_batch.obj_ids)
+            out = model.apply(
+                variables, eval_batch.images, eval_batch.K,
+                eval_batch.obj_ids, TCO_init, assets, inst, n_iterations=2,
+            )
+            T = out.TCO_output[-1]
+            gt = eval_batch.TCO_gt
+            return {
+                "eval_trans_err": jnp.mean(
+                    jnp.linalg.norm(T[:, :3, 3] - gt[:, :3, 3], axis=-1)
+                ),
+                "eval_rot_err_deg": jnp.mean(
+                    geodesic_distance(T[:, :3, :3], gt[:, :3, :3])
+                ) * 180.0 / jnp.pi,
+            }
+
     args.run_dir.mkdir(parents=True, exist_ok=True)
     log_path = args.run_dir / "log.txt"
     for epoch in range(start_epoch, args.epochs):
@@ -169,6 +200,10 @@ def main(argv=None) -> int:
             for k in epoch_metrics[0]
         }
         avg.update(epoch=epoch, time=time.time() - t0)
+        if eval_fn is not None and (epoch + 1) % args.eval_every == 0:
+            avg.update(
+                {k: float(v) for k, v in eval_fn(state.variables).items()}
+            )
         with open(log_path, "a") as f:
             f.write(json.dumps(avg) + "\n")
         logger.info(f"epoch {epoch}: loss={avg['loss']:.4f} "
