@@ -1,6 +1,12 @@
 """Flax models: CNN backbones and render-and-compare pose predictors."""
 
-from happypose_tpu.models.backbones import WideResNet18, WideResNet34, ResNet34
+from happypose_tpu.models.backbones import (
+    EfficientNetB0,
+    EfficientNetB3,
+    ResNet34,
+    WideResNet18,
+    WideResNet34,
+)
 from happypose_tpu.models.pose_predictor import (
     PosePredictor,
     PosePredictorConfig,
@@ -9,6 +15,8 @@ from happypose_tpu.models.pose_predictor import (
 
 __all__ = [
     "WideResNet18",
+    "EfficientNetB0",
+    "EfficientNetB3",
     "WideResNet34",
     "ResNet34",
     "PosePredictor",

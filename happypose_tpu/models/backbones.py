@@ -191,3 +191,111 @@ class ResNet(nn.Module):
 
 def ResNet34(**kw) -> ResNet:
     return ResNet(layers=(3, 4, 6, 3), **kw)
+
+
+class MBConv(nn.Module):
+    """Mobile inverted bottleneck (EfficientNet building block)."""
+
+    out_ch: int
+    expand: int
+    kernel: int
+    stride: int
+    se_ratio: float = 0.25
+    dtype: Dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype,
+            axis_name=self.bn_axis_name if train else None,
+        )
+        in_ch = x.shape[-1]
+        h = x
+        mid = in_ch * self.expand
+        if self.expand != 1:
+            h = nn.swish(norm()(nn.Conv(
+                mid, (1, 1), use_bias=False, dtype=self.dtype)(h)))
+        h = nn.swish(norm()(nn.Conv(
+            mid, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride), padding=self.kernel // 2,
+            feature_group_count=mid, use_bias=False, dtype=self.dtype)(h)))
+        # squeeze-excite
+        se_ch = max(1, int(in_ch * self.se_ratio))
+        s = jnp.mean(h, axis=(1, 2), keepdims=True)
+        s = nn.swish(nn.Conv(se_ch, (1, 1), dtype=self.dtype)(s))
+        s = nn.sigmoid(nn.Conv(mid, (1, 1), dtype=self.dtype)(s))
+        h = h * s
+        h = norm()(nn.Conv(
+            self.out_ch, (1, 1), use_bias=False, dtype=self.dtype)(h))
+        if self.stride == 1 and in_ch == self.out_ch:
+            h = h + x
+        return h
+
+
+class EfficientNet(nn.Module):
+    """EfficientNet (B0/B3 scalings) with free input-channel count.
+
+    Parity target: the reference's EfficientNet-b3 pose backbone
+    (cosypose/models/efficientnet.py, 331+433 LoC torch port). Stage layout
+    follows Tan & Le (ICML'19); width/depth multipliers select the variant.
+    """
+
+    width_mult: float = 1.0
+    depth_mult: float = 1.0
+    dtype: Dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    # (expand, out_ch, n_repeat, stride, kernel) per stage (B0 base)
+    _STAGES = (
+        (1, 16, 1, 1, 3),
+        (6, 24, 2, 2, 3),
+        (6, 40, 2, 2, 5),
+        (6, 80, 3, 2, 3),
+        (6, 112, 3, 1, 5),
+        (6, 192, 4, 2, 5),
+        (6, 320, 1, 1, 3),
+    )
+
+    @property
+    def n_features(self) -> int:
+        return self._round_ch(1280)
+
+    def _round_ch(self, ch: int) -> int:
+        ch = ch * self.width_mult
+        out = max(8, int(ch + 4) // 8 * 8)
+        if out < 0.9 * ch:
+            out += 8
+        return out
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import math
+
+        norm = lambda: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype,
+            axis_name=self.bn_axis_name if train else None,
+        )
+        x = nn.swish(norm()(nn.Conv(
+            self._round_ch(32), (3, 3), strides=(2, 2), padding=1,
+            use_bias=False, dtype=self.dtype)(x)))
+        for (expand, out_ch, repeats, stride, kernel) in self._STAGES:
+            reps = int(math.ceil(repeats * self.depth_mult))
+            for r in range(reps):
+                x = MBConv(
+                    out_ch=self._round_ch(out_ch), expand=expand,
+                    kernel=kernel, stride=stride if r == 0 else 1,
+                    dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                )(x, train=train)
+        x = nn.swish(norm()(nn.Conv(
+            self.n_features, (1, 1), use_bias=False, dtype=self.dtype)(x)))
+        x = jnp.mean(x, axis=(1, 2))
+        return x.astype(jnp.float32)
+
+
+def EfficientNetB0(**kw) -> EfficientNet:
+    return EfficientNet(width_mult=1.0, depth_mult=1.0, **kw)
+
+
+def EfficientNetB3(**kw) -> EfficientNet:
+    return EfficientNet(width_mult=1.2, depth_mult=1.4, **kw)

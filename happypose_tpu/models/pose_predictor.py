@@ -40,7 +40,12 @@ from happypose_tpu.meshes.database import BatchedMeshes, RenderAssets
 from happypose_tpu.ops.rasterizer import render_batch
 from happypose_tpu.ops.rasterizer_pallas import render_batch_pallas
 from happypose_tpu.ops.crop_resize import crop_images_matmul
-from happypose_tpu.models.backbones import ResNet34, WideResNet18, WideResNet34
+from happypose_tpu.models.backbones import (
+    EfficientNetB3,
+    ResNet34,
+    WideResNet18,
+    WideResNet34,
+)
 
 
 @dataclass(frozen=True)
@@ -109,6 +114,7 @@ class PosePredictor(nn.Module):
             "resnet34": ResNet34,
             "wide_resnet18": WideResNet18,
             "wide_resnet34": WideResNet34,
+            "efficientnet_b3": EfficientNetB3,
         }[self.cfg.backbone]
         self.backbone = mk(dtype=dtype, bn_axis_name=self.cfg.bn_axis_name)
         if self.cfg.predict_pose_update:

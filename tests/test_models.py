@@ -157,3 +157,14 @@ class TestPosePredictor:
         np.testing.assert_allclose(
             np.asarray(out.TCO_output), np.asarray(out.TCO_input), atol=0
         )
+
+
+def test_efficientnet_backbone():
+    from happypose_tpu.models import EfficientNetB0
+
+    model = EfficientNetB0()
+    x = jnp.zeros((2, 64, 64, 6))
+    params = model.init(jax.random.PRNGKey(0), x, train=False)
+    feats = model.apply(params, x, train=False)
+    assert feats.shape == (2, model.n_features)
+    assert model.n_features == 1280
