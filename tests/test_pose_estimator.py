@@ -161,3 +161,32 @@ def test_megapose_multiple_detections(scene):
     assert int(np.asarray(final.valid).sum()) == 2
     winners = np.asarray(final.obj_ids)[np.asarray(final.valid)]
     assert set(winners.tolist()) == {db.id_of("box"), db.id_of("sphere")}
+
+
+def test_load_named_model_registry(scene, monkeypatch):
+    """NAMED_MODELS -> working estimator end-to-end (tiny grid)."""
+    import dataclasses
+    from happypose_tpu.utils import load_model as lm
+
+    spec = lm.NAMED_MODELS["megapose-RGB"]
+    small = dataclasses.replace(
+        spec,
+        refiner_cfg=dataclasses.replace(
+            spec.refiner_cfg, backbone="wide_resnet18", render_size=(60, 80),
+            renderer="reference",
+        ),
+        coarse_cfg=dataclasses.replace(
+            spec.coarse_cfg, backbone="wide_resnet18", render_size=(60, 80),
+            renderer="reference",
+        ),
+        inference_cfg=dataclasses.replace(
+            spec.inference_cfg, SO3_grid_size=8, bsz_images=8,
+            n_refiner_iterations=1, n_pose_hypotheses=1, bsz_objects=2,
+        ),
+    )
+    monkeypatch.setitem(lm.NAMED_MODELS, "megapose-RGB-test", small)
+    est = lm.load_named_model(
+        "megapose-RGB-test", scene["db"], n_points=64
+    )
+    results = est.run_inference_pipeline(scene["obs"], scene["det"])
+    assert int(np.asarray(results["final"].valid).sum()) == 1
