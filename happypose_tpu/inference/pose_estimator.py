@@ -61,12 +61,19 @@ class PoseEstimator:
         assets: RenderAssets,
         meshes: BatchedMeshes,
         cfg: InferenceConfig = InferenceConfig(),
+        device_mesh=None,
+        mesh_axis: str = "hp",
     ):
+        """`device_mesh`: optional jax.sharding.Mesh — shards the coarse
+        hypothesis axis across devices (SURVEY.md §5.7's scale axis);
+        hypotheses per shard replace the serial `bsz_images` chunking."""
         self.refiner_model, self.refiner_vars = refiner if refiner else (None, None)
         self.coarse_model, self.coarse_vars = coarse if coarse else (None, None)
         self.assets = assets
         self.meshes = meshes
         self.cfg = cfg
+        self.device_mesh = device_mesh
+        self.mesh_axis = mesh_axis
         self.SO3_grid = jnp.asarray(load_SO3_grid(cfg.SO3_grid_size))
         self._coarse_is_classifier = (
             self.coarse_model is not None
@@ -130,7 +137,11 @@ class PoseEstimator:
         )
 
     def _score_hypotheses(self, obs, K, obj_ids, im_ids, TCO) -> jax.Array:
-        """Chunked coarse-classifier scoring of [N] hypotheses."""
+        """Coarse-classifier scoring of [N] hypotheses: chunked serially by
+        `bsz_images`, or device-parallel over the hypothesis axis when a
+        device mesh is configured."""
+        if self.device_mesh is not None:
+            return self._score_hypotheses_sharded(obs, K, obj_ids, im_ids, TCO)
         cfg = self.cfg
         N = TCO.shape[0]
         chunk = min(cfg.bsz_images, N)
@@ -159,6 +170,41 @@ class PoseEstimator:
             ),
         )
         return logits.reshape(Np)[:N]
+
+    def _score_hypotheses_sharded(self, obs, K, obj_ids, im_ids, TCO):
+        """Hypothesis axis sharded over the device mesh; each device scores
+        its shard (weights/assets replicated), results concatenate."""
+        from happypose_tpu.parallel.collectives import sharded_batch_apply
+        from happypose_tpu.parallel.mesh import shard_leading
+
+        mesh = self.device_mesh
+        n_dev = int(
+            mesh.devices.size if hasattr(mesh.devices, "size")
+            else len(mesh.devices)
+        )
+        N = TCO.shape[0]
+        Np = _ceil_to(N, n_dev)
+
+        def padn(x):
+            widths = [(0, Np - N)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        def score(batch):
+            Kc, oc, ic, Tc = batch
+            imgs = obs.images[ic]
+            mc = self.meshes.select(oc)
+            out = self.coarse_model.apply(
+                self.coarse_vars, imgs, Kc, oc, Tc, self.assets, mc,
+                n_iterations=1,
+            )
+            return out.renderings_logits[0, :, 0]
+
+        fn = sharded_batch_apply(score, mesh, axis=self.mesh_axis)
+        batch = shard_leading(
+            (padn(K), padn(obj_ids), padn(im_ids), padn(TCO)), mesh,
+            self.mesh_axis,
+        )
+        return fn(batch)[:N]
 
     # ------------------------------------------------------------------
     # Refiner

@@ -101,3 +101,65 @@ def test_colmap_round_trip(tmp_path):
     assert p2[5].image_ids.tolist() == [2]
     # identity quaternion -> TCW rotation identity
     np.testing.assert_allclose(i2[2].TCW()[:3, :3], np.eye(3), atol=1e-12)
+
+
+def test_sharded_hypothesis_scoring_matches_serial():
+    """MegaPose coarse scoring sharded over the 8-device mesh must match the
+    serial chunked path."""
+    import jax.numpy as jnp
+    from happypose_tpu.inference import (
+        DetectionBatch, InferenceConfig, ObservationBatch, PoseEstimator,
+    )
+    from happypose_tpu.meshes.database import MeshDataBase
+    from happypose_tpu.meshes.io import make_box_mesh, make_uv_sphere
+    from happypose_tpu.models import PosePredictor, PosePredictorConfig
+    from happypose_tpu.ops.rasterizer import render_batch
+
+    db = MeshDataBase(meshes={
+        "sphere": make_uv_sphere(0.05, 12, 16),
+        "box": make_box_mesh((0.04, 0.03, 0.05)),
+    })
+    assets = db.render_assets()
+    bm = db.batched(n_points=128)
+    H, W = 120, 160
+    K = np.eye(3, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 200.0
+    K[0, 2], K[1, 2] = W / 2, H / 2
+    TCO_gt = jnp.eye(4).at[2, 3].set(0.45)
+    scene = render_batch(
+        assets, jnp.asarray([1]), TCO_gt[None], jnp.asarray(K)[None],
+        resolution=(H, W),
+    )
+    m = np.asarray(scene.mask[0])
+    ys, xs = np.where(m)
+    obs = ObservationBatch.from_numpy(
+        (np.asarray(scene.rgb[0]) * 255).astype(np.uint8), K
+    )
+    det = DetectionBatch.from_numpy(
+        np.asarray([[xs.min(), ys.min(), xs.max(), ys.max()]], np.float32),
+        np.asarray([1]),
+    )
+    cfg_m = PosePredictorConfig(
+        backbone="wide_resnet18", render_size=(60, 80), renderer="reference",
+        predict_pose_update=False, predict_rendered_views_logits=True,
+    )
+    coarse = PosePredictor(cfg_m)
+    TCO0 = jnp.eye(4)[None].at[:, 2, 3].set(0.5)
+    cv = jax.jit(coarse.init)(
+        jax.random.PRNGKey(0), obs.images, obs.K, det.obj_ids, TCO0, assets,
+        bm.select(det.obj_ids),
+    )
+    icfg = InferenceConfig(SO3_grid_size=16, bsz_images=8)
+    serial = PoseEstimator(
+        refiner=None, coarse=(coarse, cv), assets=assets, meshes=bm, cfg=icfg
+    )
+    mesh = make_mesh((8,), ("hp",))
+    sharded = PoseEstimator(
+        refiner=None, coarse=(coarse, cv), assets=assets, meshes=bm,
+        cfg=icfg, device_mesh=mesh,
+    )
+    a = serial.forward_coarse(obs, det)
+    b = sharded.forward_coarse(obs, det)
+    np.testing.assert_allclose(
+        np.asarray(a.coarse_logits), np.asarray(b.coarse_logits), atol=2e-4
+    )
