@@ -45,6 +45,11 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--n-warmup-steps", type=int, default=50)
     p.add_argument("--n-iterations", type=int, default=1)
+    p.add_argument("--add-iteration-epoch-interval", type=int, default=0,
+                   help="add one refiner iteration every K epochs (up to "
+                        "--n-iterations-max; curriculum of the reference, "
+                        "train_megapose.py:308-314)")
+    p.add_argument("--n-iterations-max", type=int, default=3)
     p.add_argument("--render-size", type=int, nargs=2, default=(120, 160))
     p.add_argument("--image-size", type=int, nargs=2, default=(120, 160))
     p.add_argument("--eval-every", type=int, default=0,
@@ -127,12 +132,15 @@ def main(argv=None) -> int:
         bn_axis_name="dp" if mesh is not None else None,
     )
     model = PosePredictor(cfg)
-    if args.model_type == "refiner":
-        loss_fn = make_refiner_loss_fn(
-            model, assets, bm, n_iterations=args.n_iterations
-        )
-    else:
-        loss_fn = make_coarse_loss_fn(model, assets, bm)
+
+    def build_loss(n_iterations):
+        if args.model_type == "refiner":
+            return make_refiner_loss_fn(
+                model, assets, bm, n_iterations=n_iterations
+            )
+        return make_coarse_loss_fn(model, assets, bm)
+
+    loss_fn = build_loss(args.n_iterations)
 
     example = next(iter(batches(0)))
     # jitted init: eager tracing through a remote-TPU tunnel costs minutes
@@ -152,6 +160,7 @@ def main(argv=None) -> int:
         logger.info(f"resumed from epoch {start_epoch}")
 
     step_fn = make_train_step(loss_fn, tx, mesh=mesh)
+    cur_iters = args.n_iterations
 
     # in-training eval (reference train_pose.py builds eval bundles): refine
     # noised gt on a fixed held-out batch, report pose errors
@@ -185,6 +194,15 @@ def main(argv=None) -> int:
     args.run_dir.mkdir(parents=True, exist_ok=True)
     log_path = args.run_dir / "log.txt"
     for epoch in range(start_epoch, args.epochs):
+        if args.add_iteration_epoch_interval and args.model_type == "refiner":
+            want = min(
+                args.n_iterations + epoch // args.add_iteration_epoch_interval,
+                args.n_iterations_max,
+            )
+            if want != cur_iters:
+                cur_iters = want
+                logger.info(f"curriculum: n_iterations -> {cur_iters}")
+                step_fn = make_train_step(build_loss(cur_iters), tx, mesh=mesh)
         t0 = time.time()
         epoch_metrics = []
         for i, batch in enumerate(batches(epoch)):
