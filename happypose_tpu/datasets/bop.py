@@ -207,6 +207,45 @@ class BOPSceneDataset:
         )
 
 
+def write_bop_models(models_dir: Union[str, Path], mesh_db) -> None:
+    """Write a MeshDataBase as a BOP `models` directory.
+
+    PLYs in millimeters + models_info.json (diameter, symmetries_discrete
+    with mm translations) — the inverse of `BOPObjectDataset`, so recorded
+    synthetic datasets are self-contained BOP datasets."""
+    from happypose_tpu.meshes.io import Mesh, save_ply
+
+    models_dir = Path(models_dir)
+    models_dir.mkdir(parents=True, exist_ok=True)
+    info = {}
+    for label in mesh_db.labels:
+        obj_id = int(label.split("_")[-1])
+        mesh = mesh_db.meshes[label]
+        scale = mesh_db.scales.get(label, 1.0) * 1000.0
+        save_ply(
+            models_dir / f"obj_{obj_id:06d}.ply",
+            Mesh(
+                vertices=mesh.vertices * scale,
+                faces=mesh.faces,
+                vertex_colors=mesh.vertex_colors,
+            ),
+        )
+        entry = {"diameter": float(mesh.diameter * scale)}
+        S = mesh_db.symmetries.get(label)
+        if S is not None and len(S) > 0:
+            discrete = []
+            for T in np.asarray(S):
+                if np.allclose(T, np.eye(4)):
+                    continue
+                T = np.asarray(T, np.float64).copy()
+                T[:3, 3] *= 1000.0
+                discrete.append(T.reshape(-1).tolist())
+            if discrete:
+                entry["symmetries_discrete"] = discrete
+        info[str(obj_id)] = entry
+    (models_dir / "models_info.json").write_text(json.dumps(info))
+
+
 def write_bop_scene(
     out_dir: Union[str, Path],
     scene_id: int,

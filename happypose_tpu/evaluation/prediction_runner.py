@@ -107,8 +107,13 @@ def run_eval(
     runner: PredictionRunner,
     meter,
     obj_dataset=None,
+    bop19_evaluator=None,
 ) -> Dict[str, float]:
-    """Predictions -> matched against dataset GT via the meter -> summary."""
+    """Predictions -> matched against dataset GT via the meter -> summary.
+
+    If a `Bop19Evaluator` is passed, its official VSD/MSSD/MSPD recalls are
+    merged into the summary (the reference gets these from the bop_toolkit
+    subprocess, megapose/evaluation/bop.py:162-229)."""
     preds = runner.get_predictions()
     frame_index = {
         (s, v): i for i, (s, v) in enumerate(runner.scene_ds.frames)
@@ -130,4 +135,19 @@ def run_eval(
             gt_obj_ids=gt_ids,
             gt_group=np.full(len(gt_ids), rec["view_id"]),
         )
-    return meter.summary()
+        if bop19_evaluator is not None:
+            bop19_evaluator.add_image(
+                TCO_pred=rec["poses"],
+                pred_obj_ids=rec["obj_ids"],
+                pred_scores=rec["scores"],
+                TCO_gt=obs.TWO,
+                gt_obj_ids=gt_ids,
+                K=obs.K,
+                gt_visib_fract=obs.visib_fract,
+                depth_test=obs.depth,
+                im_width=obs.rgb.shape[1],
+            )
+    summary = meter.summary()
+    if bop19_evaluator is not None:
+        summary.update(bop19_evaluator.summary())
+    return summary

@@ -411,9 +411,12 @@ class PoseEstimator:
     def run_depth_refiner(
         self, obs: ObservationBatch, estimates: PoseEstimateBatch
     ) -> PoseEstimateBatch:
-        """ICP against the observed depth (parity:
-        megapose/inference/pose_estimator.py:497-513,633-642)."""
+        """Depth refinement against the observed depth (parity:
+        megapose/inference/pose_estimator.py:497-513,633-642).
+        `cfg.depth_refiner` selects 'icp' (default) or 'teaserpp' (robust
+        GNC-TLS registration, the reference's TEASER++ option)."""
         from happypose_tpu.inference.icp_refiner import ICPRefiner
+        from happypose_tpu.inference.teaser_refiner import TeaserRefiner
         from happypose_tpu.ops.rasterizer import render_batch
         from happypose_tpu.ops.rasterizer_pallas import render_batch_pallas
 
@@ -429,7 +432,12 @@ class PoseEstimator:
             and self.refiner_model.cfg.renderer == "pallas"
             else render_batch
         )
-        icp = ICPRefiner(self.assets, render_fn, resolution=(h, w))
+        refiner_cls = (
+            TeaserRefiner
+            if self.cfg.depth_refiner == "teaserpp"
+            else ICPRefiner
+        )
+        icp = refiner_cls(self.assets, render_fn, resolution=(h, w))
         poses = icp.refine(
             estimates.obj_ids,
             estimates.poses,

@@ -34,6 +34,8 @@ def main(argv=None) -> int:
     p.add_argument("--n-objects-per-scene", type=int, default=3)
     p.add_argument("--resolution", type=int, nargs=2, default=(240, 320))
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--write-models", action="store_true",
+                   help="also write <out-dir>/models in BOP layout")
     args = p.parse_args(argv)
 
     import jax
@@ -134,6 +136,10 @@ def main(argv=None) -> int:
             )
         )
     write_bop_scene(args.out_dir, 0, frames)
+    if args.write_models:
+        from happypose_tpu.datasets.bop import write_bop_models
+
+        write_bop_models(args.out_dir / "models", mesh_db)
     logger.info(f"wrote {len(frames)} frames to {args.out_dir}/000000")
     return 0
 

@@ -36,6 +36,11 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoints", type=Path, default=None,
                    help="dir containing refiner/ and coarse/ run dirs")
     p.add_argument("--out-dir", type=Path, required=True)
+    p.add_argument("--bop19", action="store_true",
+                   help="also compute official BOP19 VSD/MSSD/MSPD AR "
+                        "(VSD needs the split's depth images)")
+    p.add_argument("--vsd-render-size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"), help="downscale VSD depth renders")
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--n-replicas", type=int, default=1)
     args = p.parse_args(argv)
@@ -49,7 +54,7 @@ def main(argv=None) -> int:
     from happypose_tpu.utils.load_model import NAMED_MODELS, load_named_model
 
     obj_ds = BOPObjectDataset(args.models_dir)
-    scene_ds = BOPSceneDataset(args.split_dir)
+    scene_ds = BOPSceneDataset(args.split_dir, load_depth=args.bop19)
     logger.info(f"{len(scene_ds)} frames, {len(obj_ds.labels)} objects")
 
     spec = NAMED_MODELS[args.model]
@@ -84,7 +89,18 @@ def main(argv=None) -> int:
     meter = PoseErrorMeter(
         meshes=estimator.meshes, is_symmetric=obj_ds.is_symmetric
     )
-    summary = run_eval(runner, meter)
+    bop19_ev = None
+    if args.bop19:
+        from happypose_tpu.evaluation.bop19 import Bop19Evaluator
+
+        bop19_ev = Bop19Evaluator(
+            meshes=obj_ds.mesh_db.batched(n_points=512),
+            assets=obj_ds.mesh_db.render_assets(),
+            vsd_resolution=(
+                tuple(args.vsd_render_size) if args.vsd_render_size else None
+            ),
+        )
+    summary = run_eval(runner, meter, bop19_evaluator=bop19_ev)
     args.out_dir.mkdir(parents=True, exist_ok=True)
     (args.out_dir / f"summary_rank{args.rank}.json").write_text(
         json.dumps(summary, indent=1, default=float)
