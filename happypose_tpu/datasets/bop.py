@@ -51,6 +51,9 @@ class SceneObservation:
     TWC: Optional[np.ndarray] = None  # [4, 4] world-from-camera
     obj_labels: Optional[List[str]] = None
     TWO: Optional[np.ndarray] = None  # [n_obj, 4, 4] (camera frame if TWC=I)
+    TWO_init: Optional[np.ndarray] = None  # [n_obj, 4, 4] provided initial
+    #   estimates (DeepIM-ModelNet refiner-only eval; reference ObjectData
+    #   .TWO_init, toolbox/datasets/scene_dataset.py:72)
     bboxes: Optional[np.ndarray] = None  # [n_obj, 4] xyxy
     visib_fract: Optional[np.ndarray] = None  # [n_obj]
     scene_id: int = 0

@@ -299,3 +299,49 @@ def EfficientNetB0(**kw) -> EfficientNet:
 
 def EfficientNetB3(**kw) -> EfficientNet:
     return EfficientNet(width_mult=1.2, depth_mult=1.4, **kw)
+
+
+class FlowNetS(nn.Module):
+    """FlowNetS encoder (the reference's 'flownet' pose backbone).
+
+    Parity target: cosypose/models/flownet.py:9-58 — the FlowNetS
+    contracting path only (the decoder/flow heads are unused there),
+    conv1 7x7/s2 64 -> conv2 5x5/s2 128 -> conv3 5x5/s2 256 -> conv3_1 ->
+    conv4 /s2 512 -> conv4_1 -> conv5 /s2 512 -> conv5_1 -> conv6 /s2
+    1024 -> conv6_1, LeakyReLU(0.1). The reference loads pretrained
+    optical-flow weights from disk; here the encoder trains from scratch
+    (no egress), optionally with (sync) BatchNorm like its batchNorm mode.
+    """
+
+    use_batchnorm: bool = False
+    dtype: Dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @property
+    def n_features(self) -> int:
+        return 1024
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def conv(x, ch, kernel, stride=1):
+            x = nn.Conv(
+                ch, (kernel, kernel), strides=(stride, stride),
+                padding=(kernel - 1) // 2, use_bias=not self.use_batchnorm,
+                dtype=self.dtype,
+            )(x)
+            if self.use_batchnorm:
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9,
+                    dtype=self.dtype,
+                    axis_name=self.bn_axis_name if train else None,
+                )(x)
+            return nn.leaky_relu(x, negative_slope=0.1)
+
+        x = conv(x, 64, 7, 2)
+        x = conv(x, 128, 5, 2)
+        x = conv(conv(x, 256, 5, 2), 256, 3)
+        x = conv(conv(x, 512, 3, 2), 512, 3)
+        x = conv(conv(x, 512, 3, 2), 512, 3)
+        x = conv(conv(x, 1024, 3, 2), 1024, 3)
+        x = jnp.mean(x, axis=(1, 2))
+        return x.astype(jnp.float32)

@@ -42,6 +42,7 @@ from happypose_tpu.ops.rasterizer_pallas import render_batch_pallas
 from happypose_tpu.ops.crop_resize import crop_images_matmul
 from happypose_tpu.models.backbones import (
     EfficientNetB3,
+    FlowNetS,
     ResNet34,
     WideResNet18,
     WideResNet34,
@@ -53,6 +54,7 @@ class PosePredictorConfig:
     """Static model configuration (hashable; safe as a linen attribute)."""
 
     backbone: str = "resnet34"  # resnet34 | wide_resnet18 | wide_resnet34
+    #   | efficientnet_b3 | flownet
     render_size: Tuple[int, int] = (240, 320)
     multiview_type: str = "TCO"  # TCO | front_1view | front_3views | sphere_26views
     remove_TCO_rendering: bool = False
@@ -115,6 +117,7 @@ class PosePredictor(nn.Module):
             "wide_resnet18": WideResNet18,
             "wide_resnet34": WideResNet34,
             "efficientnet_b3": EfficientNetB3,
+            "flownet": FlowNetS,
         }[self.cfg.backbone]
         self.backbone = mk(dtype=dtype, bn_axis_name=self.cfg.bn_axis_name)
         if self.cfg.predict_pose_update:
