@@ -147,7 +147,19 @@ def main(argv=None) -> int:
         )
         overlay = make_contour_overlay(overlay, np.asarray(render.mask[i]))
     Image.fromarray(overlay).save(out_dir / "all_results.png")
-    logger.info(f"wrote {out_dir}/object_data.json and all_results.png")
+
+    # 3D scene export (meshcat-viewer equivalent): predicted objects in the
+    # camera frame + the camera at the origin, as a standalone .glb
+    from happypose_tpu.visualization.gltf_export import export_scene_glb
+
+    export_scene_glb(
+        out_dir / "scene.glb", obj_ds.mesh_db,
+        [obj_ds.mesh_db.labels[int(o)] for o in obj_ids], poses,
+        camera_poses=np.eye(4)[None],
+    )
+    logger.info(
+        f"wrote {out_dir}/object_data.json, all_results.png, scene.glb"
+    )
     return 0
 
 
