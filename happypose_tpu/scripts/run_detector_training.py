@@ -38,6 +38,12 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--fpn-channels", type=int, default=64)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--eval-interval", type=int, default=0,
+                   help="every N epochs, log detection mAP on a few "
+                        "training frames (0 = off); the analog of the "
+                        "reference's in-training COCO eval "
+                        "(train_detector.py:119-386)")
+    p.add_argument("--eval-frames", type=int, default=8)
     args = p.parse_args(argv)
 
     import jax
@@ -144,6 +150,37 @@ def main(argv=None) -> int:
             loss, parts,
         )
 
+    eval_forward = jax.jit(lambda v, xx: model.apply(v, xx, train=False))
+
+    def eval_map(state) -> float:
+        """Detection mAP@0.5 on a deterministic handful of frames."""
+        from happypose_tpu.evaluation.detection_meters import DetectionMeter
+        from happypose_tpu.models.detector import detector_postprocess
+
+        meter = DetectionMeter(iou_threshold=0.5)
+        ev_rng = np.random.RandomState(12345)
+        n_batches = max(1, args.eval_frames // args.batch_size)
+        for _ in range(n_batches):
+            x, targets = make_batch(ev_rng)
+            out = eval_forward(
+                {"params": state["params"],
+                 "batch_stats": state["batch_stats"]}, x)
+            post = detector_postprocess(
+                out, score_threshold=0.3, iou_threshold=0.5,
+                max_detections=args.max_gt * 2,
+            )
+            for b in range(x.shape[0]):
+                keep = np.asarray(post["valid"][b])
+                gt_keep = np.asarray(targets.valid[b])
+                meter.add(
+                    np.asarray(post["boxes"][b])[keep],
+                    np.asarray(post["labels"][b])[keep],
+                    np.asarray(post["scores"][b])[keep],
+                    np.asarray(targets.boxes[b])[gt_keep],
+                    np.asarray(targets.labels[b])[gt_keep],
+                )
+        return meter.summary()["mAP"]
+
     args.run_dir.mkdir(parents=True, exist_ok=True)
     for epoch in range(start_epoch, args.epochs):
         t0_ = time.time()
@@ -156,9 +193,14 @@ def main(argv=None) -> int:
             "epoch": epoch, "loss": float(np.mean(losses)),
             "time": time.time() - t0_,
         }
+        if args.eval_interval and (epoch + 1) % args.eval_interval == 0:
+            rec["mAP@0.5"] = eval_map(state)
         with open(args.run_dir / "log.txt", "a") as f:
             f.write(json.dumps(rec) + "\n")
-        logger.info(f"epoch {epoch}: loss={rec['loss']:.4f}")
+        msg = f"epoch {epoch}: loss={rec['loss']:.4f}"
+        if "mAP@0.5" in rec:
+            msg += f" mAP@0.5={rec['mAP@0.5']:.3f}"
+        logger.info(msg)
         save_checkpoint(args.run_dir, state, epoch + 1, config=vars(args))
     return 0
 
