@@ -122,9 +122,13 @@ def _sort_key(bbox: jax.Array) -> jax.Array:
 
 
 def _make_kernel(n_tw: int):
+    # grid order (B, chunks, tiles): tiles iterate fastest so the chunk's
+    # At/finfo blocks stay resident in VMEM across all tiles (block index
+    # unchanged -> no HBM re-copy); only the culling scalar test runs for
+    # non-overlapping tiles.
     def kernel(bbox_ref, At_ref, finfo_ref, buf_out):
-        t = pl.program_id(1)
-        c = pl.program_id(2)
+        t = pl.program_id(2)
+        c = pl.program_id(1)
         b = pl.program_id(0)
 
         @pl.when((t == 0) & (c == 0))
@@ -325,7 +329,7 @@ def raster_fused_pallas(
     n_th = Hp // TILE_H
     n_tw = Wp // TILE_W
     n_tiles = n_th * n_tw
-    grid = (B, n_tiles, n_chunks)
+    grid = (B, n_chunks, n_tiles)
 
     if interpret:
         # Pure-XLA mirror of the kernel contract (pallas interpret mode
@@ -339,18 +343,18 @@ def raster_fused_pallas(
         in_specs=[
             pl.BlockSpec(
                 (1, 1, N_AFF * CHUNK, 3),
-                lambda b, t, c, *refs: (b, c, 0, 0),
+                lambda b, c, t, *refs: (b, c, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, CHUNK, 8),
-                lambda b, t, c, *refs: (b, c, 0, 0),
+                lambda b, c, t, *refs: (b, c, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, n_tiles, N_OUT_ROWS, TILE_PX),
-            lambda b, t, c, *refs: (b, 0, 0, 0),
+            lambda b, c, t, *refs: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
