@@ -34,7 +34,7 @@ from happypose_tpu.lib3d.camera import (
 from happypose_tpu.lib3d.cropping import deepim_boxes
 from happypose_tpu.lib3d.multiview_geom import make_TCO_multiview
 from happypose_tpu.lib3d.pose_update import pose_update_with_reference_point
-from happypose_tpu.lib3d.rotations import rotmat_from_ortho6d
+from happypose_tpu.lib3d.rotations import quat_to_rotmat, rotmat_from_ortho6d
 from happypose_tpu.lib3d.transforms import normalize_T
 from happypose_tpu.meshes.database import BatchedMeshes, RenderAssets
 from happypose_tpu.ops.rasterizer import render_batch
@@ -65,6 +65,9 @@ class PosePredictorConfig:
     depth_normalization_type: str = "tCR_scale_clamp_center"
     predict_pose_update: bool = True
     predict_rendered_views_logits: bool = False
+    # ortho6d (9 outputs, default) | quaternion (7 outputs, the reference
+    # CosyPose models' older head: cosypose/models/pose.py:95-106)
+    pose_head: str = "ortho6d"
     crop_lamb: float = 1.4
     compute_dtype: str = "float32"  # float32 | bfloat16
     renderer: str = "pallas"  # pallas | reference | pallas_interpret
@@ -107,6 +110,13 @@ def _identity_pose_bias(key, shape, dtype=jnp.float32):
     return jnp.asarray([1, 0, 0, 0, 1, 0, 0, 0, 1], dtype)
 
 
+def _identity_quat_pose_bias(key, shape, dtype=jnp.float32):
+    """Identity update for the quaternion head (xyzw + vxvyvz, vz=1)."""
+    del key
+    assert shape == (7,)
+    return jnp.asarray([0, 0, 0, 1, 0, 0, 1], dtype)
+
+
 class PosePredictor(nn.Module):
     cfg: PosePredictorConfig
 
@@ -121,10 +131,13 @@ class PosePredictor(nn.Module):
         }[self.cfg.backbone]
         self.backbone = mk(dtype=dtype, bn_axis_name=self.cfg.bn_axis_name)
         if self.cfg.predict_pose_update:
+            quat = self.cfg.pose_head == "quaternion"
             self.pose_fc = nn.Dense(
-                9,
+                7 if quat else 9,
                 kernel_init=nn.initializers.normal(1e-3),
-                bias_init=_identity_pose_bias,
+                bias_init=(
+                    _identity_quat_pose_bias if quat else _identity_pose_bias
+                ),
             )
         if self.cfg.predict_rendered_views_logits:
             self.views_logits_head = nn.Dense(self.cfg.n_views)
@@ -280,9 +293,14 @@ class PosePredictor(nn.Module):
 
         if cfg.predict_pose_update:
             pose_raw = net_out["pose"]
-            dR = rotmat_from_ortho6d(pose_raw[:, 0:6])
+            if cfg.pose_head == "quaternion":
+                dR = quat_to_rotmat(pose_raw[:, 0:4])
+                vxvyvz = pose_raw[:, 4:7]
+            else:
+                dR = rotmat_from_ortho6d(pose_raw[:, 0:6])
+                vxvyvz = pose_raw[:, 6:9]
             TCO_output = pose_update_with_reference_point(
-                TCO_input, K_crop, pose_raw[:, 6:9], dR, tCR
+                TCO_input, K_crop, vxvyvz, dR, tCR
             )
         else:
             pose_raw = jnp.zeros((B, 9), TCO_input.dtype)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from happypose_tpu.lib3d.distances import loss_CO_symmetric
 from happypose_tpu.lib3d.pose_update import pose_update_with_reference_point
-from happypose_tpu.lib3d.rotations import rotmat_from_ortho6d
+from happypose_tpu.lib3d.rotations import quat_to_rotmat, rotmat_from_ortho6d
 
 
 def loss_refiner_CO_disentangled_reference_point(
@@ -77,6 +77,61 @@ def loss_refiner_CO_disentangled_reference_point(
     TCO_pred_xy = masked_update(vxvy, vz_gt, dR_gt, (0, 1), (3,))
     # term 3: network vz, gt rest
     TCO_pred_z = masked_update(vxvy_gt, vz, dR_gt, (2,), (3,))
+
+    loss_orn, _ = loss_CO_symmetric(
+        TCO_possible_gt, TCO_pred_orn, points, points_mask=points_mask
+    )
+    loss_xy, _ = loss_CO_symmetric(
+        TCO_possible_gt, TCO_pred_xy, points, points_mask=points_mask
+    )
+    loss_z, _ = loss_CO_symmetric(
+        TCO_possible_gt, TCO_pred_z, points, points_mask=points_mask
+    )
+    loss = loss_orn + loss_xy + loss_z
+    return loss, {
+        "loss_orn": loss_orn, "loss_xy": loss_xy, "loss_z": loss_z,
+        "loss": loss,
+    }
+
+
+def loss_refiner_CO_disentangled(
+    TCO_possible_gt: jax.Array,  # [B, S, 4, 4] symmetry-expanded GT
+    TCO_input: jax.Array,  # [B, 4, 4]
+    refiner_outputs: jax.Array,  # [B, 9] ortho6d or [B, 7] quaternion
+    K_crop: jax.Array,  # [B, 3, 3]
+    points: jax.Array,  # [B, P, 3]
+    points_mask: Optional[jax.Array] = None,
+    sym_mask: Optional[jax.Array] = None,
+    rotation_param: str = "ortho6d",  # ortho6d | quaternion
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """CosyPose's object-center disentangled loss (no reference point).
+
+    Parity: cosypose/lib3d/cosypose_ops.py:62-102
+    (`loss_refiner_CO_disentangled`) and :104-145 (`_quaternions`): the
+    three hypothetical updates are anchored at the input pose's own
+    translation — xy via image-space offset scaled to the GT depth, z via
+    `vz * z_input` — instead of the crop reference point."""
+    if rotation_param == "quaternion":
+        dR = quat_to_rotmat(refiner_outputs[:, 0:4])
+        vxvyvz = refiner_outputs[:, 4:7]
+    else:
+        dR = rotmat_from_ortho6d(refiner_outputs[:, 0:6])
+        vxvyvz = refiner_outputs[:, 6:9]
+    TCO_gt = TCO_possible_gt[:, 0]
+    if sym_mask is not None:
+        TCO_possible_gt = jnp.where(
+            sym_mask[..., None, None], TCO_possible_gt, TCO_gt[:, None]
+        )
+
+    TCO_pred_orn = TCO_gt.at[:, :3, :3].set(dR @ TCO_input[:, :3, :3])
+
+    z_gt = TCO_gt[:, 2, 3:4]
+    z_input = TCO_input[:, 2, 3:4]
+    fxfy = jnp.stack([K_crop[:, 0, 0], K_crop[:, 1, 1]], axis=-1)
+    xy = (vxvyvz[:, :2] / fxfy + TCO_input[:, :2, 3] / z_input) * z_gt
+    TCO_pred_xy = TCO_gt.at[:, :2, 3].set(xy)
+
+    TCO_pred_z = TCO_gt.at[:, 2, 3:4].set(vxvyvz[:, 2:3] * z_input)
 
     loss_orn, _ = loss_CO_symmetric(
         TCO_possible_gt, TCO_pred_orn, points, points_mask=points_mask
