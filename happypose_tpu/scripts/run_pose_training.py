@@ -57,6 +57,9 @@ def main(argv=None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dp", action="store_true", help="data-parallel mesh")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax profiler trace of the first epoch "
+                        "to <run-dir>/trace (open with xprof/perfetto)")
     args = p.parse_args(argv)
 
     from happypose_tpu.models import PosePredictor, PosePredictorConfig
@@ -205,14 +208,22 @@ def main(argv=None) -> int:
                 step_fn = make_train_step(build_loss(cur_iters), tx, mesh=mesh)
         t0 = time.time()
         epoch_metrics = []
-        for i, batch in enumerate(batches(epoch)):
-            rng = jax.random.PRNGKey(epoch * 100003 + i)
-            if mesh is not None:
-                batch = split_batch_for_mesh(batch, mesh)
-            state, metrics = step_fn(state, batch, rng)
-            epoch_metrics.append(
-                {k: float(v) for k, v in metrics.items()}
-            )
+        from happypose_tpu.utils.profiling import device_trace
+
+        trace_dir = (
+            args.run_dir / "trace"
+            if (args.profile and epoch == start_epoch)
+            else None
+        )
+        with device_trace(trace_dir):
+            for i, batch in enumerate(batches(epoch)):
+                rng = jax.random.PRNGKey(epoch * 100003 + i)
+                if mesh is not None:
+                    batch = split_batch_for_mesh(batch, mesh)
+                state, metrics = step_fn(state, batch, rng)
+                epoch_metrics.append(
+                    {k: float(v) for k, v in metrics.items()}
+                )
         avg = {
             k: float(np.mean([m[k] for m in epoch_metrics]))
             for k in epoch_metrics[0]
