@@ -97,6 +97,12 @@ class MultiviewRefinement:
     K: np.ndarray
     meshes: BatchedMeshes
     n_points: int = 8
+    # "dense": one jacfwd over all params + dense normal-equation solve.
+    # "schur": per-candidate Jacobian blocks + Schur-complement elimination
+    # of the object blocks (BASELINE.json north star) — the reduced camera
+    # system is (n_views*9)^2 regardless of object/candidate count, and all
+    # block sums are segment ops (shardable over the candidate axis).
+    solver: str = "dense"
 
     def __post_init__(self):
         self.n_views = int(self.K.shape[0])
@@ -164,13 +170,121 @@ class MultiviewRefinement:
         J = jax.jacfwd(self._residuals)(params, T_target)  # [R, D]
         clipped = jnp.clip(errors, -residuals_threshold, residuals_threshold)
         loss = jnp.mean(jnp.minimum(errors**2, residuals_threshold**2))
-        A = J.T @ J + lambd * jnp.eye(params.shape[0])
-        b = J.T @ clipped
-        h = jnp.linalg.solve(A, b)
+        JtJ = J.T @ J
+        # Jacobi scaling: solve S(J^TJ+λI)S y = S J^T e, h = S y — exact
+        # in real arithmetic but keeps the f32 solve well-conditioned
+        # (pixel-per-unit column norms differ by orders of magnitude)
+        s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(JtJ), 1e-12))
+        A = JtJ * s[:, None] * s[None, :] + lambd * jnp.diag(s**2)
+        b = (J.T @ clipped) * s
+        h = jnp.linalg.solve(A, b) * s
         # gauge fix: first camera does not move
         mask = jnp.ones_like(params)
         start = self.n_objects * 9
         mask = mask.at[start : start + 9].set(0.0)
+        return params + h * mask, loss
+
+    # -------------------- Schur-complement LM --------------------
+
+    def _cand_residual(self, two9, tcw9, pts, K, T_target):
+        """Residuals of ONE candidate as a function of its own two pose
+        blocks only — the sparsity unit of the BA problem."""
+        TWO = pose9d_to_T(two9[None])[0]
+        TCW = pose9d_to_T(tcw9[None])[0]
+        TCO = TCW @ TWO
+        uv_model = project_points(pts[None], K[None], TCO[None])[0]
+        uv_target = project_points(pts[None], K[None], T_target[None])[0]
+        return (uv_target - uv_model).reshape(-1)  # [p*2]
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _lm_step_schur(self, params, T_target, lambd, residuals_threshold):
+        """Same update as `_lm_step` but via block elimination.
+
+        J^T J = [[U, W], [W^T, V]] with U block-diagonal over objects and V
+        over cameras; the object blocks are eliminated:
+        (V - W^T U^-1 W) h_c = b_c - W^T U^-1 b_o, then back-substitution.
+        The reference's dense `pinverse` on CPU (bundle_adjustment.py:272-279)
+        scales with (9*(n_obj+n_views))^2; this scales with candidates only
+        linearly and solves a (9*n_views)^2 system."""
+        n_obj, n_views = self.n_objects, self.n_views
+        two_all = params[: n_obj * 9].reshape(n_obj, 9)
+        tcw_all = params[n_obj * 9 :].reshape(n_views, 9)
+        two_c = two_all[self.o_idx]  # [C, 9]
+        tcw_c = tcw_all[self.v_idx]
+        Kc = self.K_j[self.v_idx]
+
+        f = self._cand_residual
+        r = jax.vmap(f)(two_c, tcw_c, self.cand_points, Kc, T_target)
+        A = jax.vmap(jax.jacfwd(f, argnums=0))(
+            two_c, tcw_c, self.cand_points, Kc, T_target
+        )  # [C, m, 9]
+        Bj = jax.vmap(jax.jacfwd(f, argnums=1))(
+            two_c, tcw_c, self.cand_points, Kc, T_target
+        )  # [C, m, 9]
+        e = jnp.clip(r, -residuals_threshold, residuals_threshold)
+        loss = jnp.mean(jnp.minimum(r**2, residuals_threshold**2))
+
+        AtA = jnp.einsum("cmi,cmj->cij", A, A)
+        BtB = jnp.einsum("cmi,cmj->cij", Bj, Bj)
+        AtB = jnp.einsum("cmi,cmj->cij", A, Bj)
+        Ate = jnp.einsum("cmi,cm->ci", A, e)
+        Bte = jnp.einsum("cmi,cm->ci", Bj, e)
+
+        U = jnp.zeros((n_obj, 9, 9)).at[self.o_idx].add(AtA)
+        V = jnp.zeros((n_views, 9, 9)).at[self.v_idx].add(BtB)
+        W = jnp.zeros((n_obj, n_views, 9, 9)).at[
+            self.o_idx, self.v_idx
+        ].add(AtB)
+        b_o = jnp.zeros((n_obj, 9)).at[self.o_idx].add(Ate)
+        b_v = jnp.zeros((n_views, 9)).at[self.v_idx].add(Bte)
+
+        # Jacobi preconditioning: the 9d ortho6d blocks are singular along
+        # the parameterization's scale directions, so eliminating U in f32
+        # without scaling is unstable. Solving S(J^TJ+λI)S y = S b with
+        # S = diag(J^TJ)^{-1/2} is exact-arithmetic-equivalent and stable.
+        eps = 1e-12
+        s_o = 1.0 / jnp.sqrt(
+            jnp.maximum(jnp.diagonal(U, axis1=-2, axis2=-1), eps)
+        )  # [n_obj, 9]
+        s_v = 1.0 / jnp.sqrt(
+            jnp.maximum(jnp.diagonal(V, axis1=-2, axis2=-1), eps)
+        )
+        U = U * s_o[:, :, None] * s_o[:, None, :]
+        V = V * s_v[:, :, None] * s_v[:, None, :]
+        W = W * s_o[:, None, :, None] * s_v[None, :, None, :]
+        diag9 = jnp.eye(9)
+        U = U + lambd * diag9 * (s_o**2)[:, None, :]
+        V = V + lambd * diag9 * (s_v**2)[:, None, :]
+        b_o = b_o * s_o
+        b_v = b_v * s_v
+
+        # truncated pseudo-inverse of the object blocks (the reference also
+        # pinverse's its normal matrix, bundle_adjustment.py:272-279): the
+        # ortho6d parameterization has non-axis-aligned null directions
+        # that diagonal scaling cannot lift, and plainly inverting them
+        # poisons the Schur complement. Eigenvalues below 1e-5 of the block
+        # max are treated as null (their b components are ~0 too).
+        w, Q = jnp.linalg.eigh(U)
+        w_floor = jnp.maximum(w[..., -1:], 1e-12) * 1e-5
+        w_inv = jnp.where(w > w_floor, 1.0 / jnp.maximum(w, 1e-12), 0.0)
+        Uinv = jnp.einsum("oij,oj,okj->oik", Q, w_inv, Q)
+        # reduced camera system
+        S = -jnp.einsum("ovki,okl,owlj->vwij", W, Uinv, W)
+        S = S.at[jnp.arange(n_views), jnp.arange(n_views)].add(V)
+        S = S.transpose(0, 2, 1, 3).reshape(n_views * 9, n_views * 9)
+        rhs = b_v - jnp.einsum("ovki,okl,ol->vi", W, Uinv, b_o)
+        h_c = jnp.linalg.solve(S, rhs.reshape(-1)).reshape(n_views, 9)
+        h_o = jnp.einsum(
+            "okl,ol->ok", Uinv,
+            b_o - jnp.einsum("ovij,vj->oi", W, h_c),
+        )
+        h_o = h_o * s_o  # undo the scaling
+        h_c = h_c * s_v
+
+        h = jnp.concatenate([h_o.reshape(-1), h_c.reshape(-1)])
+        mask = jnp.ones_like(params)
+        start = n_obj * 9
+        mask = mask.at[start : start + 9].set(0.0)  # gauge fix camera 0
         return params + h * mask, loss
 
     @partial(jax.jit, static_argnames=("self",))
@@ -209,8 +323,12 @@ class MultiviewRefinement:
             )
             lambd = lambd0
             loss = float(self._loss(params, T_target, residuals_threshold))
+            step = (
+                self._lm_step_schur if self.solver == "schur"
+                else self._lm_step
+            )
             for _ in range(n_iterations):
-                new_params, _ = self._lm_step(
+                new_params, _ = step(
                     params, T_target, lambd, residuals_threshold
                 )
                 new_loss = float(

@@ -56,6 +56,7 @@ class MultiviewScenePredictor:
         n_min_inliers: int = 3,
         ba_n_iterations: int = 50,
         ba_n_points: int = 8,
+        ba_solver: str = "dense",  # dense | schur (Schur-complement LM)
     ):
         self.meshes = meshes
         self.score_th = score_th
@@ -64,6 +65,7 @@ class MultiviewScenePredictor:
         self.n_min_inliers = n_min_inliers
         self.ba_n_iterations = ba_n_iterations
         self.ba_n_points = ba_n_points
+        self.ba_solver = ba_solver
 
     def predict_scene_state(
         self,
@@ -123,6 +125,7 @@ class MultiviewScenePredictor:
             else K,
             meshes=self.meshes,
             n_points=self.ba_n_points,
+            solver=self.ba_solver,
         )
         result = refiner.solve(pairs, TC1C2, n_iterations=self.ba_n_iterations)
 

@@ -135,6 +135,10 @@ def main(argv=None) -> int:
     p.add_argument("--candidate-noise-deg", type=float, default=1.0)
     p.add_argument("--candidate-noise-t", type=float, default=0.003)
     p.add_argument("--known-cameras", action="store_true")
+    p.add_argument("--ba-solver", choices=["dense", "schur"],
+                   default="dense",
+                   help="bundle-adjustment solver (schur = block "
+                        "elimination, scales to large scenes)")
     args = p.parse_args(argv)
 
     from scipy.spatial.transform import Rotation as ScipyRot
@@ -178,7 +182,7 @@ def main(argv=None) -> int:
 
     predictor = MultiviewScenePredictor(
         bm, score_th=0.0, n_ransac_iter=30, dist_threshold=0.02,
-        n_min_inliers=2,
+        n_min_inliers=2, ba_solver=args.ba_solver,
     )
     state = predictor.predict_scene_state(
         cands, np.stack(K_per_view),
