@@ -5,6 +5,10 @@ from happypose_tpu.datasets.bop import (
     BOPSceneDataset,
     SceneObservation,
 )
+from happypose_tpu.datasets.datasets_cfg import (
+    make_object_dataset,
+    make_scene_dataset,
+)
 from happypose_tpu.datasets.samplers import DistributedSceneSampler
 
 __all__ = [
@@ -12,4 +16,6 @@ __all__ = [
     "BOPSceneDataset",
     "SceneObservation",
     "DistributedSceneSampler",
+    "make_object_dataset",
+    "make_scene_dataset",
 ]
