@@ -331,3 +331,80 @@ def position_colored(mesh: Mesh) -> Mesh:
     c = (v - lo) / np.maximum(hi - lo, 1e-9)
     return Mesh(vertices=v, faces=mesh.faces,
                 vertex_colors=c.astype(np.float32))
+
+
+def make_cylinder_mesh(
+    radius=0.02, length=0.1, n_seg=16, color=(0.6, 0.6, 0.6)
+) -> Mesh:
+    """Capped cylinder along +z, base at origin (procedural viz asset,
+    parity: renderer/geometry.py cylinder/capsule builders)."""
+    ang = np.linspace(0, 2 * np.pi, n_seg, endpoint=False)
+    ring = np.stack([np.cos(ang) * radius, np.sin(ang) * radius], -1)
+    bot = np.concatenate([ring, np.zeros((n_seg, 1))], -1)
+    top = np.concatenate([ring, np.full((n_seg, 1), length)], -1)
+    centers = np.asarray([[0, 0, 0], [0, 0, length]], np.float32)
+    v = np.concatenate([bot, top, centers]).astype(np.float32)
+    cb, ct = 2 * n_seg, 2 * n_seg + 1
+    faces = []
+    for i in range(n_seg):
+        j = (i + 1) % n_seg
+        faces += [[i, j, n_seg + i], [j, n_seg + j, n_seg + i]]  # side
+        faces += [[cb, j, i], [ct, n_seg + i, n_seg + j]]  # caps
+    colors = np.tile(np.asarray([color], np.float32), (len(v), 1))
+    return Mesh(vertices=v, faces=np.asarray(faces, np.int32),
+                vertex_colors=colors)
+
+
+def make_capsule_mesh(
+    radius=0.02, length=0.1, n_seg=16, n_cap=4, color=(0.6, 0.3, 0.6)
+) -> Mesh:
+    """Capsule along +z (cylinder + hemispherical ends)."""
+    rows = []
+    # bottom hemisphere (pole to equator), cylinder, top hemisphere
+    for t in np.linspace(-np.pi / 2, 0, n_cap + 1):
+        rows.append((radius * np.cos(t), radius * np.sin(t)))
+    for t in np.linspace(0, np.pi / 2, n_cap + 1):
+        rows.append((radius * np.cos(t), length + radius * np.sin(t)))
+    ang = np.linspace(0, 2 * np.pi, n_seg, endpoint=False)
+    verts, faces = [], []
+    for r, z in rows:
+        verts.append(
+            np.stack([np.cos(ang) * r, np.sin(ang) * r,
+                      np.full(n_seg, z)], -1)
+        )
+    V = np.concatenate(verts).astype(np.float32)
+    n_rows = len(rows)
+    for k in range(n_rows - 1):
+        for i in range(n_seg):
+            j = (i + 1) % n_seg
+            a, b = k * n_seg + i, k * n_seg + j
+            c, d = (k + 1) * n_seg + i, (k + 1) * n_seg + j
+            faces += [[a, b, c], [b, d, c]]
+    colors = np.tile(np.asarray([color], np.float32), (len(V), 1))
+    return Mesh(vertices=V, faces=np.asarray(faces, np.int32),
+                vertex_colors=colors)
+
+
+def make_axes_mesh(length=0.1, radius_frac=0.06) -> Mesh:
+    """RGB xyz axis triad (the reference's viz axes node,
+    renderer/geometry.py:make_axes)."""
+    r = length * radius_frac
+    parts = []
+    rots = {
+        # +z cylinder rotated onto each axis
+        "x": np.asarray([[0, 0, 1], [0, 1, 0], [-1, 0, 0]], np.float32),
+        "y": np.asarray([[1, 0, 0], [0, 0, 1], [0, -1, 0]], np.float32),
+        "z": np.eye(3, dtype=np.float32),
+    }
+    colors = {"x": (0.9, 0.1, 0.1), "y": (0.1, 0.8, 0.1),
+              "z": (0.15, 0.3, 0.9)}
+    vs, fs, cs, off = [], [], [], 0
+    for axis, R in rots.items():
+        cyl = make_cylinder_mesh(r, length, color=colors[axis])
+        vs.append(cyl.vertices @ R.T)
+        fs.append(cyl.faces + off)
+        cs.append(cyl.vertex_colors)
+        off += len(cyl.vertices)
+    return Mesh(vertices=np.concatenate(vs).astype(np.float32),
+                faces=np.concatenate(fs).astype(np.int32),
+                vertex_colors=np.concatenate(cs).astype(np.float32))
