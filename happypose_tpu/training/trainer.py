@@ -124,9 +124,20 @@ def make_train_step(
             new_stats = jax.lax.pmean(new_stats, axis)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        # failure mitigation the reference lacks (SURVEY §5.3): a batch
+        # with a non-finite loss/grad (degenerate render, bf16 overflow)
+        # is skipped wholesale instead of poisoning the weights
+        grad_norm = optax.global_norm(grads)
+        ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        new_params, new_stats, new_opt = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old),
+            (new_params, new_stats, new_opt),
+            (state.params, state.batch_stats, state.opt_state),
+        )
         metrics = dict(metrics)
-        metrics["loss"] = loss
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["loss"] = jnp.where(ok, loss, 0.0)
+        metrics["grad_norm"] = jnp.where(ok, grad_norm, 0.0)
+        metrics["skipped_nonfinite"] = (~ok).astype(jnp.float32)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,

@@ -183,3 +183,35 @@ def test_data_parallel_train_step_8_devices(world):
         0.0,
     )
     assert delta > 0
+
+
+def test_nonfinite_batch_skipped():
+    """A batch producing NaN loss must not move params (SURVEY §5.3
+    mitigation the reference lacks)."""
+    import optax
+
+    def loss_fn(variables, batch, rng):
+        x = batch["x"]
+        loss = jnp.where(
+            batch["poison"], jnp.nan, ((variables["params"]["w"] - x) ** 2).sum()
+        )
+        return loss, ({"dummy": jnp.float32(0.0)}, {})
+
+    tx = optax.sgd(0.1)
+    variables = {"params": {"w": jnp.ones(3)}, "batch_stats": {}}
+    state = TrainState.create(variables, tx)
+    step = make_train_step(loss_fn, tx)
+
+    rng = jax.random.PRNGKey(0)
+    good = {"x": jnp.zeros(3), "poison": jnp.asarray(False)}
+    bad = {"x": jnp.zeros(3), "poison": jnp.asarray(True)}
+
+    state1, m1 = step(state, bad, rng)
+    assert float(m1["skipped_nonfinite"]) == 1.0
+    np.testing.assert_allclose(
+        np.asarray(state1.params["w"]), np.ones(3)
+    )  # unchanged
+
+    state2, m2 = step(state1, good, rng)
+    assert float(m2["skipped_nonfinite"]) == 0.0
+    assert not np.allclose(np.asarray(state2.params["w"]), np.ones(3))
