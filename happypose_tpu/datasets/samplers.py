@@ -42,3 +42,36 @@ class PartialSampler:
 
     def __len__(self):
         return len(self.indices)
+
+
+class RandomIterableSceneDataset:
+    """Infinite uniform-random frame stream over one scene dataset.
+
+    Parity: toolbox/datasets/scene_dataset.py:466-489
+    (`RandomIterableSceneDataset`). Deterministic per seed."""
+
+    def __init__(self, scene_ds, seed: int = 0):
+        self.scene_ds = scene_ds
+        self.rng = np.random.RandomState(seed)
+
+    def __iter__(self):
+        while True:
+            yield self.scene_ds[int(self.rng.randint(len(self.scene_ds)))]
+
+
+class IterableMultiSceneDataset:
+    """Infinite random mixing of several iterable scene datasets.
+
+    Parity: toolbox/datasets/scene_dataset.py:492-522
+    (`IterableMultiSceneDataset`): each step picks a child stream uniformly
+    and yields its next sample — the reference's mechanism for training on
+    a mixture (e.g. pbr + real splits)."""
+
+    def __init__(self, iterable_datasets: List, seed: int = 0):
+        self.datasets = iterable_datasets
+        self.rng = np.random.RandomState(seed)
+
+    def __iter__(self):
+        iters = [iter(ds) for ds in self.datasets]
+        while True:
+            yield next(iters[int(self.rng.randint(len(iters)))])

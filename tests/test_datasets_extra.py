@@ -184,3 +184,45 @@ class TestObjectDatasets:
         )
         ds = ShapeNetObjectDataset(tmp_path)
         assert ds.labels == ["shapenet_02958343_abc123"]
+
+
+class TestInfiniteIterators:
+    def _tiny_ds(self, tmp_path, scene_id=0, n=3):
+        from happypose_tpu.datasets.bop import (
+            BOPSceneDataset, SceneObservation, write_bop_scene,
+        )
+
+        K = np.asarray([[100.0, 0, 20], [0, 100.0, 15], [0, 0, 1]],
+                       np.float32)
+        frames = [
+            SceneObservation(
+                rgb=np.full((30, 40, 3), scene_id * 50 + v, np.uint8), K=K,
+                scene_id=scene_id, view_id=v,
+            )
+            for v in range(n)
+        ]
+        write_bop_scene(tmp_path, scene_id, frames)
+        return BOPSceneDataset(tmp_path)
+
+    def test_random_iterable_infinite_and_deterministic(self, tmp_path):
+        from happypose_tpu.datasets.samplers import RandomIterableSceneDataset
+
+        ds = self._tiny_ds(tmp_path / "a")
+        a = [o.view_id for _, o in zip(range(10), RandomIterableSceneDataset(ds, seed=3))]
+        b = [o.view_id for _, o in zip(range(10), RandomIterableSceneDataset(ds, seed=3))]
+        assert a == b
+        assert len(set(a)) > 1  # actually mixes frames
+
+    def test_multi_scene_mixing(self, tmp_path):
+        from happypose_tpu.datasets.samplers import (
+            IterableMultiSceneDataset, RandomIterableSceneDataset,
+        )
+
+        ds1 = self._tiny_ds(tmp_path / "a", scene_id=0)
+        ds2 = self._tiny_ds(tmp_path / "b", scene_id=1)
+        mix = IterableMultiSceneDataset(
+            [RandomIterableSceneDataset(ds1, 0),
+             RandomIterableSceneDataset(ds2, 1)], seed=5,
+        )
+        seen = {o.rgb[0, 0, 0] // 50 for _, o in zip(range(30), iter(mix))}
+        assert seen == {0, 1}  # both sources appear
