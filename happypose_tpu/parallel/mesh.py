@@ -47,3 +47,49 @@ def shard_leading(tree, mesh: Mesh, axis: str = "dp"):
         else x,
         tree,
     )
+
+
+def shard_objects(db_tree, mesh: Mesh, axis: str = "dp"):
+    """Shard a mesh-database pytree (RenderAssets / BatchedMeshes) over
+    its leading object axis.
+
+    The TPU analog of the reference's `split_objects_across_gpus`
+    (train_megapose.py:115-153): the 20k-object asset store is what does
+    not fit a single accelerator, so each device holds a disjoint object
+    shard. Per-instance `select(obj_ids)` gathers from the owning shard —
+    XLA inserts the collectives when the select runs inside jit.
+
+    Object count must divide the axis size; pad the database first
+    (`pad_objects_to_multiple`).
+    """
+    n_shards = mesh.shape[axis]
+    sharding = NamedSharding(mesh, P(axis))
+
+    def place(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        assert x.shape[0] % n_shards == 0, (
+            f"object axis {x.shape[0]} not divisible by {n_shards}; "
+            "pad_objects_to_multiple first"
+        )
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(place, db_tree)
+
+
+def pad_objects_to_multiple(db_tree, multiple: int):
+    """Zero-pad the leading object axis to a multiple (sharding prep);
+    padded slots are never selected (obj_ids are bounded by real count)."""
+    import jax.numpy as jnp
+
+    def pad(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        n = x.shape[0]
+        target = -(-n // multiple) * multiple
+        if target == n:
+            return x
+        pad_width = [(0, target - n)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad_width)
+
+    return jax.tree.map(pad, db_tree)

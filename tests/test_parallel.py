@@ -163,3 +163,46 @@ def test_sharded_hypothesis_scoring_matches_serial():
     np.testing.assert_allclose(
         np.asarray(a.coarse_logits), np.asarray(b.coarse_logits), atol=2e-4
     )
+
+
+def test_object_axis_sharded_assets_render():
+    """Assets sharded over the object axis render identically to
+    replicated assets (split_objects_across_gpus analog)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from happypose_tpu.meshes.database import MeshDataBase
+    from happypose_tpu.meshes.io import make_box_mesh, make_uv_sphere
+    from happypose_tpu.ops.rasterizer import render_batch
+    from happypose_tpu.parallel.mesh import (
+        make_mesh, pad_objects_to_multiple, shard_objects,
+    )
+
+    db = MeshDataBase(meshes={
+        f"obj_{i}": (
+            make_uv_sphere(0.03 + 0.005 * i, 8, 12) if i % 2
+            else make_box_mesh((0.03 + 0.004 * i, 0.025, 0.04))
+        )
+        for i in range(6)
+    })
+    assets = db.render_assets()
+    mesh = make_mesh((8,), ("dp",))
+    assets_pad = pad_objects_to_multiple(assets, 8)
+    assets_sharded = shard_objects(assets_pad, mesh)
+
+    B = 8
+    ids = jnp.asarray([0, 1, 2, 3, 4, 5, 1, 2], jnp.int32)
+    K = jnp.broadcast_to(
+        jnp.asarray([[200.0, 0, 40], [0, 200.0, 30], [0, 0, 1]]), (B, 3, 3)
+    )
+    TCO = jnp.broadcast_to(jnp.eye(4), (B, 4, 4)).at[:, 2, 3].set(0.45)
+
+    render = jax.jit(
+        lambda a: render_batch(a, ids, TCO, K, resolution=(60, 80))
+    )
+    out_rep = render(assets)
+    out_sh = render(assets_sharded)
+    np.testing.assert_allclose(
+        np.asarray(out_rep.depth), np.asarray(out_sh.depth), atol=1e-6
+    )
