@@ -64,9 +64,13 @@ def test_icp_recovers_offset():
     assert err_after < 0.01
 
 
-def test_pipeline_depth_refiner_integration():
+import pytest
+
+
+@pytest.mark.parametrize("refiner_name", ["icp", "teaserpp"])
+def test_pipeline_depth_refiner_integration(refiner_name):
     """run_inference_pipeline with run_depth_refiner=True must improve the
-    final pose using the observed depth."""
+    final pose using the observed depth (both refiner backends)."""
     import dataclasses
     from happypose_tpu.inference import (
         DetectionBatch, InferenceConfig, ObservationBatch, PoseEstimator,
@@ -108,7 +112,7 @@ def test_pipeline_depth_refiner_integration():
         refiner=(model, variables), coarse=None, assets=assets, meshes=bm,
         cfg=InferenceConfig(
             n_refiner_iterations=1, bsz_objects=1, run_depth_refiner=True,
-            depth_refiner="icp",
+            depth_refiner=refiner_name,
         ),
     )
     results = est.run_inference_pipeline(obs, det)
