@@ -83,3 +83,81 @@ def load_bop_csv(path: Union[str, Path]) -> Dict[str, np.ndarray]:
         "poses": poses, "scene_ids": scene, "view_ids": im, "obj_ids": obj,
         "scores": score, "times": time_,
     }
+
+
+def load_external_detections(
+    path: Union[str, Path], label_format: str = "obj_{:06d}"
+) -> Dict[tuple, dict]:
+    """Load BOP-challenge-format detections (e.g. CNOS / default detections).
+
+    Parity target: `load_external_detections`
+    (/root/reference/happypose/pose_estimators/megapose/evaluation/
+    bop.py:233-296): a json list of records with scene_id, image_id,
+    category_id, bbox (x, y, w, h) and score, converted to per-frame
+    (x1, y1, x2, y2) boxes + labels. Returns the `external_detections`
+    mapping consumed by `PredictionRunner`: {(scene_id, view_id):
+    {"boxes", "labels", "scores"}}."""
+    import json
+
+    recs = json.loads(Path(path).read_text())
+    per_frame: Dict[tuple, dict] = {}
+    for r in recs:
+        key = (int(r["scene_id"]), int(r["image_id"]))
+        x, y, w, h = (float(v) for v in r["bbox"])
+        d = per_frame.setdefault(
+            key, {"boxes": [], "labels": [], "scores": []}
+        )
+        d["boxes"].append([x, y, x + w, y + h])
+        d["labels"].append(label_format.format(int(r["category_id"])))
+        d["scores"].append(float(r.get("score", 1.0)))
+    for d in per_frame.values():
+        d["boxes"] = np.asarray(d["boxes"], np.float32)
+        d["scores"] = np.asarray(d["scores"], np.float32)
+    return per_frame
+
+
+def load_bop_targets(path: Union[str, Path]) -> List[dict]:
+    """Read a BOP test-targets json (test_targets_bop19.json)."""
+    import json
+
+    return json.loads(Path(path).read_text())
+
+
+def keep_best_detections(
+    detections: Dict[tuple, dict],
+    targets: List[dict],
+    label_format: str = "obj_{:06d}",
+) -> Dict[tuple, dict]:
+    """Filter external detections to the eval targets: per (scene, image,
+    object) keep only the `inst_count` best-scored detections.
+
+    Parity target: `keep_best_detections`
+    (/root/reference/happypose/pose_estimators/megapose/evaluation/
+    bop.py:299-336). Detections of objects not listed as targets for the
+    frame are dropped."""
+    budget: Dict[tuple, int] = {}
+    for t in targets:
+        key = (
+            int(t["scene_id"]),
+            int(t["im_id"]),
+            label_format.format(int(t["obj_id"])),
+        )
+        budget[key] = int(t.get("inst_count", 1))
+    out: Dict[tuple, dict] = {}
+    for (scene_id, view_id), d in detections.items():
+        order = np.argsort(-d["scores"])
+        remaining = dict(budget)
+        keep = []
+        for i in order:
+            key = (scene_id, view_id, d["labels"][i])
+            if remaining.get(key, 0) > 0:
+                remaining[key] -= 1
+                keep.append(int(i))
+        if keep:
+            keep = sorted(keep)
+            out[(scene_id, view_id)] = {
+                "boxes": d["boxes"][keep],
+                "labels": [d["labels"][i] for i in keep],
+                "scores": d["scores"][keep],
+            }
+    return out

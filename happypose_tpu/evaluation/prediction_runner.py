@@ -35,12 +35,52 @@ class PredictionRunner:
     scene_ds: BOPSceneDataset
     estimator: PoseEstimator
     mesh_db: MeshDataBase
-    detection_type: str = "gt"  # gt | external
+    detection_type: str = "gt"  # gt | detector | external
     min_visib_fract: float = 0.05
     max_detections: int = 8
     external_detections: Optional[Dict] = None  # keyed (scene_id, view_id)
+    detector: Optional[object] = None  # inference.detector.Detector
+    detection_th: float = 0.3
+    one_instance_per_class: bool = False
     n_replicas: int = 1
     rank: int = 0
+
+    def _detections_from_detector(
+        self, obs: SceneObservation
+    ) -> Optional[DetectionBatch]:
+        """Run the trained detector on the frame at its training resolution
+        and map boxes back to the original image (the reference's
+        `detection_type="detector"` path, prediction_runner.py:98-105)."""
+        import jax.numpy as jnp
+
+        from happypose_tpu.datasets.augmentations import crop_resize_to_aspect
+
+        H, W = getattr(self.detector, "image_size", (240, 320))
+        x = jnp.asarray(
+            np.moveaxis(obs.rgb.astype(np.float32) / 255.0, -1, 0)[None]
+        )
+        K = jnp.asarray(obs.K[None].astype(np.float32))
+        x_r, K2 = crop_resize_to_aspect(x, K, (H, W))
+        det, _ = self.detector.get_detections(
+            ObservationBatch(rgb=x_r, K=K2),
+            detection_th=self.detection_th,
+            one_instance_per_class=self.one_instance_per_class,
+            max_detections=self.max_detections,
+        )
+        if det.n_rows == 0:
+            return None
+        # invert the aspect crop: boxes were predicted in the resized frame
+        s = float(np.asarray(K2)[0, 0, 0]) / float(obs.K[0, 0])
+        offx = float(np.asarray(K2)[0, 0, 2]) - float(obs.K[0, 2]) * s
+        offy = float(np.asarray(K2)[0, 1, 2]) - float(obs.K[1, 2]) * s
+        boxes = np.asarray(det.boxes).copy()
+        boxes[:, 0::2] = (boxes[:, 0::2] - offx) / s
+        boxes[:, 1::2] = (boxes[:, 1::2] - offy) / s
+        return DetectionBatch.from_numpy(
+            boxes=boxes,
+            obj_ids=np.asarray(det.obj_ids),
+            scores=np.asarray(det.scores),
+        )
 
     def _detections_for(self, obs: SceneObservation) -> Optional[DetectionBatch]:
         if self.detection_type == "gt":
@@ -57,6 +97,8 @@ class PredictionRunner:
             boxes = obs.bboxes[keep]
             ids = self.mesh_db.ids_of([obs.obj_labels[i] for i in keep])
             return DetectionBatch.from_numpy(boxes=boxes, obj_ids=ids)
+        if self.detection_type == "detector":
+            return self._detections_from_detector(obs)
         if self.detection_type == "external":
             det = self.external_detections.get((obs.scene_id, obs.view_id))
             if det is None:

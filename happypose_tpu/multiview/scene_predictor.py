@@ -149,3 +149,27 @@ class MultiviewScenePredictor:
             view_ids=views,
             ba_loss=result["loss"],
         )
+
+
+def nms3d(
+    TWO: np.ndarray, scores: np.ndarray, th: float = 0.04
+) -> np.ndarray:
+    """3D translation NMS over reconstructed objects; returns kept indices.
+
+    Parity target: `nms3d` (/root/reference/happypose/pose_estimators/
+    cosypose/cosypose/visualization/multiview.py:33-57): greedily keep the
+    best-scored object, suppress others whose translation is within `th`
+    meters."""
+    t = np.asarray(TWO)[:, :3, 3]
+    order = np.argsort(-np.asarray(scores))
+    suppressed = set()
+    keep = []
+    for idx in order:
+        if idx in suppressed:
+            continue
+        dists = np.linalg.norm(t[idx] - t, axis=-1)
+        dists[idx] = np.inf
+        for j in np.where(dists <= th)[0]:
+            suppressed.add(int(j))
+        keep.append(int(idx))
+    return np.asarray(sorted(keep), int)

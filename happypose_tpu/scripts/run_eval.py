@@ -30,7 +30,21 @@ def main(argv=None) -> int:
     p.add_argument("--split-dir", type=Path, required=True)
     p.add_argument("--models-dir", type=Path, required=True)
     p.add_argument("--model", default="megapose-RGB")
-    p.add_argument("--detections", choices=["gt"], default="gt")
+    p.add_argument(
+        "--detections", choices=["gt", "detector", "external"], default="gt",
+        help="detection source: dataset GT boxes, a trained detector run "
+             "(--detector-run), or a BOP-format detections json "
+             "(--external-detections) — the reference's detection_type "
+             "in {gt, detector, exte}",
+    )
+    p.add_argument("--detector-run", type=Path, default=None,
+                   help="run dir from run_detector_training")
+    p.add_argument("--detection-th", type=float, default=0.3)
+    p.add_argument("--external-detections", type=Path, default=None,
+                   help="BOP-challenge-format detections json (e.g. CNOS)")
+    p.add_argument("--targets", type=Path, default=None,
+                   help="test_targets_bop19.json — filters external "
+                        "detections to the per-frame best per target")
     p.add_argument("--so3-grid", type=int, default=None)
     p.add_argument("--n-refiner-iterations", type=int, default=None)
     p.add_argument("--checkpoints", type=Path, default=None,
@@ -81,10 +95,41 @@ def main(argv=None) -> int:
         args.model, obj_ds.mesh_db, checkpoint_dirs=ckpt_dirs
     )
 
+    detector = None
+    external = None
+    if args.detections == "detector":
+        from happypose_tpu.utils.load_model import load_detector
+
+        if args.detector_run is None:
+            p.error("--detections detector requires --detector-run")
+        detector = load_detector(args.detector_run, len(obj_ds.labels))
+    elif args.detections == "external":
+        from happypose_tpu.evaluation.bop_export import (
+            keep_best_detections, load_bop_targets, load_external_detections,
+        )
+
+        if args.external_detections is None:
+            p.error("--detections external requires --external-detections")
+        external = load_external_detections(args.external_detections)
+        if args.targets:
+            external = keep_best_detections(
+                external, load_bop_targets(args.targets)
+            )
+        # PredictionRunner resolves labels via the mesh db
+        external = {
+            k: {
+                "boxes": d["boxes"],
+                "labels": d["labels"],
+                "scores": d["scores"],
+            }
+            for k, d in external.items()
+        }
+
     runner = PredictionRunner(
         scene_ds=scene_ds, estimator=estimator, mesh_db=obj_ds.mesh_db,
         detection_type=args.detections, rank=args.rank,
-        n_replicas=args.n_replicas,
+        n_replicas=args.n_replicas, detector=detector,
+        detection_th=args.detection_th, external_detections=external,
     )
     meter = PoseErrorMeter(
         meshes=estimator.meshes, is_symmetric=obj_ds.is_symmetric

@@ -136,3 +136,49 @@ def load_named_model(
         refiner=refiner, coarse=coarse, assets=assets, meshes=meshes,
         cfg=spec.inference_cfg,
     )
+
+
+def load_detector(run_dir: Path, n_classes: int):
+    """Restore a trained FCOS detector from a training run directory.
+
+    Parity target: `load_detector`
+    (/root/reference/happypose/toolbox/inference/utils.py:61-83) — rebuild
+    the model from the run's saved config and restore its weights. The run
+    dir is one produced by `scripts/run_detector_training.py`
+    (checkpoint.msgpack + config.json); detector class ids must match the
+    mesh database used at training time (`--models-dir`)."""
+    import json
+
+    from flax import serialization
+
+    from happypose_tpu.inference.detector import Detector
+    from happypose_tpu.models.detector import DetectorConfig, FCOSDetector
+
+    run_dir = Path(run_dir)
+    fpn_channels, image_size = 64, (240, 320)
+    cfg_file = run_dir / "config.json"
+    if cfg_file.exists():
+        c = json.loads(cfg_file.read_text())
+        fpn_channels = int(c.get("fpn_channels", fpn_channels))
+        if c.get("image_size"):
+            image_size = tuple(int(v) for v in c["image_size"])
+    model = FCOSDetector(
+        DetectorConfig(n_classes=n_classes, fpn_channels=fpn_channels)
+    )
+    raw = None
+    for name in ("checkpoint.msgpack", "checkpoint_last.msgpack"):
+        p = run_dir / name
+        if p.exists():
+            try:
+                raw = serialization.msgpack_restore(p.read_bytes())
+                break
+            except Exception:
+                continue
+    if raw is None:
+        raise FileNotFoundError(f"no readable detector checkpoint in {run_dir}")
+    variables = {"params": raw["params"]}
+    if raw.get("batch_stats"):
+        variables["batch_stats"] = raw["batch_stats"]
+    detector = Detector(model, variables)
+    detector.image_size = image_size
+    return detector

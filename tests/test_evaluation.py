@@ -291,3 +291,181 @@ class TestPredictionRunner:
         assert summary["n_matched"] == 3  # autodepth init overlaps gt spheres
         # translation from autodepth on a gt box is decent
         assert summary["mean_trans_err"] < 0.15
+
+
+class TestExternalDetections:
+    def _write_json(self, tmp_path):
+        import json
+
+        recs = [
+            # frame (1, 0): two dets of obj 1 (scores .9/.4), one of obj 2
+            {"scene_id": 1, "image_id": 0, "category_id": 1,
+             "bbox": [10, 20, 30, 40], "score": 0.9},
+            {"scene_id": 1, "image_id": 0, "category_id": 1,
+             "bbox": [12, 22, 30, 40], "score": 0.4},
+            {"scene_id": 1, "image_id": 0, "category_id": 2,
+             "bbox": [50, 60, 20, 20], "score": 0.7},
+            # frame (1, 1): one det of obj 2
+            {"scene_id": 1, "image_id": 1, "category_id": 2,
+             "bbox": [5, 5, 10, 10], "score": 0.5},
+        ]
+        path = tmp_path / "dets.json"
+        path.write_text(json.dumps(recs))
+        return path
+
+    def test_load(self, tmp_path):
+        from happypose_tpu.evaluation.bop_export import (
+            load_external_detections,
+        )
+
+        dets = load_external_detections(self._write_json(tmp_path))
+        assert set(dets) == {(1, 0), (1, 1)}
+        d = dets[(1, 0)]
+        assert d["labels"] == ["obj_000001", "obj_000001", "obj_000002"]
+        # xywh -> xyxy
+        np.testing.assert_allclose(d["boxes"][0], [10, 20, 40, 60])
+        np.testing.assert_allclose(d["scores"], [0.9, 0.4, 0.7])
+
+    def test_keep_best(self, tmp_path):
+        from happypose_tpu.evaluation.bop_export import (
+            keep_best_detections, load_external_detections,
+        )
+
+        dets = load_external_detections(self._write_json(tmp_path))
+        # targets: frame 0 expects 1 instance of obj 1 only
+        targets = [{"scene_id": 1, "im_id": 0, "obj_id": 1, "inst_count": 1}]
+        out = keep_best_detections(dets, targets)
+        assert set(out) == {(1, 0)}
+        d = out[(1, 0)]
+        assert d["labels"] == ["obj_000001"]
+        np.testing.assert_allclose(d["scores"], [0.9])  # the best-scored one
+
+    def test_inst_count_2(self, tmp_path):
+        from happypose_tpu.evaluation.bop_export import (
+            keep_best_detections, load_external_detections,
+        )
+
+        dets = load_external_detections(self._write_json(tmp_path))
+        targets = [
+            {"scene_id": 1, "im_id": 0, "obj_id": 1, "inst_count": 2},
+            {"scene_id": 1, "im_id": 0, "obj_id": 2, "inst_count": 1},
+        ]
+        out = keep_best_detections(dets, targets)
+        assert len(out[(1, 0)]["labels"]) == 3
+
+    def test_runner_external_mode(self, bop_fixture):
+        """External detections flow through _detections_for."""
+        from happypose_tpu.evaluation.prediction_runner import (
+            PredictionRunner,
+        )
+
+        obj_ds = bop_fixture["obj_ds"]
+        ds = BOPSceneDataset(bop_fixture["split"])
+        obs = ds[0]
+        external = {
+            (obs.scene_id, obs.view_id): {
+                "boxes": obs.bboxes,
+                "labels": list(obs.obj_labels),
+                "scores": np.array([0.8], np.float32),
+            }
+        }
+        runner = PredictionRunner(
+            scene_ds=ds, estimator=None, mesh_db=obj_ds.mesh_db,
+            detection_type="external", external_detections=external,
+        )
+        det = runner._detections_for(obs)
+        assert det is not None and det.n_rows == 1
+        np.testing.assert_allclose(np.asarray(det.boxes)[0], obs.bboxes[0])
+        # a frame with no external detections yields None
+        assert runner._detections_for(ds[1]) is None
+
+
+class TestDetectorMode:
+    def test_box_backmapping(self, bop_fixture):
+        """Detector-mode boxes are the exact inverse of the training-time
+        box transform: forward-map an original-frame box with the same
+        K-derived scale/offset the training script uses, hand it to a fake
+        detector, and require the runner to recover the original box."""
+        import jax.numpy as jnp
+
+        from happypose_tpu.datasets.augmentations import crop_resize_to_aspect
+        from happypose_tpu.evaluation.prediction_runner import (
+            PredictionRunner,
+        )
+        from happypose_tpu.inference.types import DetectionBatch
+
+        obj_ds = bop_fixture["obj_ds"]
+        ds = BOPSceneDataset(bop_fixture["split"])
+        obs = ds[0]  # 120x160 frames
+        box_orig = np.array([20.0, 30.0, 80.0, 70.0], np.float32)
+
+        # forward transform (run_detector_training.py's make_batch)
+        x = jnp.zeros((1, 3, *obs.rgb.shape[:2]))
+        K = jnp.asarray(obs.K[None])
+        _, K2 = crop_resize_to_aspect(x, K, (60, 80))
+        s = float(K2[0, 0, 0] / obs.K[0, 0])
+        offx = float(K2[0, 0, 2]) - obs.K[0, 2] * s
+        offy = float(K2[0, 1, 2]) - obs.K[1, 2] * s
+        box_resized = box_orig.copy()
+        box_resized[0::2] = box_resized[0::2] * s + offx
+        box_resized[1::2] = box_resized[1::2] * s + offy
+
+        class FakeDetector:
+            image_size = (60, 80)
+
+            def get_detections(self, observation, **kw):
+                det = DetectionBatch.from_numpy(
+                    boxes=box_resized[None],
+                    obj_ids=np.array([0], np.int32),
+                    scores=np.array([0.9], np.float32),
+                )
+                return det, {}
+
+        runner = PredictionRunner(
+            scene_ds=ds, estimator=None, mesh_db=obj_ds.mesh_db,
+            detection_type="detector", detector=FakeDetector(),
+        )
+        det = runner._detections_for(obs)
+        assert det is not None and det.n_rows == 1
+        np.testing.assert_allclose(
+            np.asarray(det.boxes)[0], box_orig, atol=1e-4
+        )
+
+    def test_real_detector_roundtrip(self, bop_fixture, tmp_path):
+        """load_detector restores a checkpoint written by the training
+        script's save path and runs end-to-end on a frame."""
+        import jax
+
+        from happypose_tpu.models.detector import DetectorConfig, FCOSDetector
+        from happypose_tpu.utils.checkpoint import save_checkpoint
+        from happypose_tpu.utils.load_model import load_detector
+        from happypose_tpu.evaluation.prediction_runner import (
+            PredictionRunner,
+        )
+
+        obj_ds = bop_fixture["obj_ds"]
+        ds = BOPSceneDataset(bop_fixture["split"])
+        n_classes = len(obj_ds.labels)
+        model = FCOSDetector(DetectorConfig(n_classes=n_classes,
+                                            fpn_channels=16))
+        import jax.numpy as jnp
+        x0 = jnp.zeros((1, 3, 60, 80))
+        variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+        state = {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+            "opt_state": {},
+        }
+        run_dir = tmp_path / "det_run"
+        save_checkpoint(run_dir, state, epoch=1,
+                        config={"fpn_channels": 16, "image_size": (60, 80)})
+        detector = load_detector(run_dir, n_classes)
+        assert detector.image_size == (60, 80)
+        runner = PredictionRunner(
+            scene_ds=ds, estimator=None, mesh_db=obj_ds.mesh_db,
+            detection_type="detector", detector=detector,
+            detection_th=0.0,  # untrained net: accept anything
+        )
+        det = runner._detections_for(ds[0])  # may be None or a batch
+        if det is not None:
+            assert det.boxes.shape[1] == 4
