@@ -213,6 +213,103 @@ def _make_kernel(n_tw: int):
 
 
 
+def _make_kernel_tilemajor(n_tw: int, n_chunks: int, tile_h: int,
+                           tile_w: int):
+    """Tile-major kernel: grid (B, tiles), chunks looped INSIDE the kernel.
+
+    The dense (B, chunks, tiles) sweep pays a grid-step cost for every
+    culled (chunk, tile) pair — measured ~0.4 ms per chunk at B=16/240x320
+    even when the chunk's bbox misses most tiles. Here the whole per-image
+    face-chunk database stays VMEM-resident (index map constant across the
+    tile axis), the chunk loop is a `fori_loop` whose culled iterations are
+    a scalar bbox test + branch, and the z/attr state lives in VMEM scratch
+    so each output tile is written exactly once."""
+    tile_px = tile_h * tile_w
+
+    def kernel(bbox_ref, At_ref, finfo_ref, out_ref, best_scr, acc_scr):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        ti = t // n_tw
+        tj = t - ti * n_tw
+        tu0 = (tj * tile_w).astype(jnp.float32)
+        tv0 = (ti * tile_h).astype(jnp.float32)
+
+        best_scr[...] = jnp.zeros_like(best_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (3, tile_px), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (3, tile_px), 0)
+        pu = (lane % tile_w).astype(jnp.float32)
+        pv = (lane // tile_w).astype(jnp.float32)
+        Mt = jnp.where(row == 0, pu, jnp.where(row == 1, pv, 1.0))
+        gu = pu[0:1, :] + tu0
+        gv = pv[0:1, :] + tv0
+
+        def body(c, carry):
+            umin = bbox_ref[b, c * 4 + 0]
+            vmin = bbox_ref[b, c * 4 + 1]
+            umax = bbox_ref[b, c * 4 + 2]
+            vmax = bbox_ref[b, c * 4 + 3]
+            overlap = (
+                (umax >= tu0)
+                & (umin <= tu0 + (tile_w - 1))
+                & (vmax >= tv0)
+                & (vmin <= tv0 + (tile_h - 1))
+            )
+
+            @pl.when(overlap)
+            def _():
+                At = At_ref[0, c]  # [N_AFF*CHUNK, 3]
+                c_adj = At[:, 2:3] + At[:, 0:1] * tu0 + At[:, 1:2] * tv0
+                At_loc = jnp.concatenate([At[:, 0:2], c_adj], axis=1)
+                R = jnp.dot(At_loc, Mt, preferred_element_type=jnp.float32)
+                W0 = R[0 * CHUNK : 1 * CHUNK, :]
+                W1 = R[1 * CHUNK : 2 * CHUNK, :]
+                W2 = R[2 * CHUNK : 3 * CHUNK, :]
+                IZ = R[3 * CHUNK : 4 * CHUNK, :]
+                fi = finfo_ref[0, c]  # [CHUNK, 8]
+                IZ = jnp.clip(IZ, fi[:, 0:1], fi[:, 1:2])
+                cov = (W0 >= 0) & (W1 >= 0) & (W2 >= 0)
+                inside = (
+                    (gu >= fi[:, 2:3] - 1.0)
+                    & (gu <= fi[:, 4:5] + 1.0)
+                    & (gv >= fi[:, 3:4] - 1.0)
+                    & (gv <= fi[:, 5:6] + 1.0)
+                )
+                cand = jnp.where(cov & inside, IZ, -1.0)
+
+                cbest = jnp.max(cand, axis=0, keepdims=True)
+                fidx = jax.lax.broadcasted_iota(
+                    jnp.int32, (CHUNK, tile_px), 0
+                )
+                amin = jnp.min(
+                    jnp.where(cand == cbest, fidx, CHUNK), axis=0,
+                    keepdims=True,
+                )
+                onehot = (fidx == amin).astype(jnp.float32)
+
+                prev = best_scr[0:1, :]
+                better = (cbest > prev) & (cbest > 0)
+                best_scr[0:1, :] = jnp.where(better, cbest, prev)
+                rows = []
+                for k in range(6):
+                    Q = R[(4 + k) * CHUNK : (5 + k) * CHUNK, :]
+                    rows.append(jnp.sum(Q * onehot, axis=0, keepdims=True))
+                new_attr = jnp.concatenate(rows, axis=0)  # [6, tile_px]
+                acc_scr[...] = jnp.where(better, new_attr, acc_scr[...])
+
+            return carry
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+        out_ref[0, 0] = jnp.concatenate(
+            [best_scr[...], acc_scr[...],
+             jnp.zeros((N_OUT_ROWS - 7, tile_px), jnp.float32)],
+            axis=0,
+        )
+
+    return kernel
+
+
 def _raster_fused_xla(At, finfo, resolution):
     """jnp reference for the fused kernel: same packed inputs, same outputs."""
     H, W = resolution
@@ -374,17 +471,72 @@ def raster_fused_pallas(
             interpret=interpret,
         )(chunk_bbox.reshape(B, n_chunks * 4), At, finfo)
 
+    def run_tilemajor(tile_h: int, tile_w: int):
+        """Grid (B, tiles); chunk loop inside the kernel over the
+        VMEM-resident per-image face database (see _make_kernel_tilemajor).
+        Eliminates the per-(chunk, tile) grid-step cost that made the dense
+        sweep linear in chunk count even under full culling. Uses its own
+        (smaller) tile so the resident face DB + tile temporaries fit the
+        scoped-VMEM budget. Returns untiled [B, N_OUT_ROWS, H, W]."""
+        tile_px = tile_h * tile_w
+        hp = _cdiv(H, tile_h) * tile_h
+        wp = _cdiv(W, tile_w) * tile_w
+        th_ = hp // tile_h
+        tw_ = wp // tile_w
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, th_ * tw_),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, n_chunks, N_AFF * CHUNK, 3),
+                    lambda b, t, *refs: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, n_chunks, CHUNK, 8),
+                    lambda b, t, *refs: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, N_OUT_ROWS, tile_px),
+                lambda b, t, *refs: (b, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((1, tile_px), jnp.float32),
+                pltpu.VMEM((6, tile_px), jnp.float32),
+            ],
+        )
+        buf = pl.pallas_call(
+            _make_kernel_tilemajor(tw_, n_chunks, tile_h, tile_w),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (B, th_ * tw_, N_OUT_ROWS, tile_px), jnp.float32
+            ),
+            interpret=interpret,
+        )(chunk_bbox.reshape(B, n_chunks * 4), At, finfo)
+        x = buf.reshape(B, th_, tw_, N_OUT_ROWS, tile_h, tile_w)
+        x = x.transpose(0, 3, 1, 4, 2, 5).reshape(B, N_OUT_ROWS, hp, wp)
+        return x[:, :, :H, :W]
+
     # NOTE: a binned variant (per-tile chunk lists via scalar-prefetch-
     # indexed BlockSpecs, grid (B, n_tiles, L)) was measured at 20k faces:
     # 3x fewer grid steps but no wall-clock win (135 vs 141 renders/s) —
     # the full sweep amortizes its face-block loads across the whole tile
-    # axis, which binning necessarily gives up. The lossless sweep stays.
-    buf = run_full()
-
-    # un-tile [B, n_tiles, R, TILE_PX] -> [B, R, Hp, Wp] -> crop
-    x = buf.reshape(B, n_th, n_tw, N_OUT_ROWS, TILE_H, TILE_W)
-    x = x.transpose(0, 3, 1, 4, 2, 5).reshape(B, N_OUT_ROWS, Hp, Wp)
-    x = x[:, :, :H, :W]
+    # axis, which binning necessarily gives up. The tile-major kernel keeps
+    # that amortization AND removes the culled grid steps; it needs the
+    # whole per-image face database resident, so very large meshes fall
+    # back to the dense sweep.
+    face_vmem_bytes = n_chunks * (N_AFF * CHUNK * 3 + CHUNK * 8) * 4
+    if face_vmem_bytes <= 4 * 1024 * 1024:
+        x = run_tilemajor(tile_h=8, tile_w=128)
+    else:
+        buf = run_full()
+        # un-tile [B, n_tiles, R, TILE_PX] -> [B, R, Hp, Wp] -> crop
+        x = buf.reshape(B, n_th, n_tw, N_OUT_ROWS, TILE_H, TILE_W)
+        x = x.transpose(0, 3, 1, 4, 2, 5).reshape(B, N_OUT_ROWS, Hp, Wp)
+        x = x[:, :, :H, :W]
     iz = x[:, 0]
     z = jnp.where(iz > 0, 1.0 / jnp.maximum(iz, 1e-12), 0.0)
     attr = x[:, 1:7] * z[:, None]

@@ -469,3 +469,43 @@ class TestDetectorMode:
         det = runner._detections_for(ds[0])  # may be None or a batch
         if det is not None:
             assert det.boxes.shape[1] == 4
+
+
+class TestDetectionEvalCLI:
+    def test_end_to_end(self, bop_fixture, tmp_path):
+        """run_detection_eval: restore checkpoint -> detect on split ->
+        mAP summary + COCO detections json."""
+        import jax
+        import jax.numpy as jnp
+
+        from happypose_tpu.models.detector import DetectorConfig, FCOSDetector
+        from happypose_tpu.scripts.run_detection_eval import main
+        from happypose_tpu.utils.checkpoint import save_checkpoint
+
+        obj_ds = bop_fixture["obj_ds"]
+        model = FCOSDetector(
+            DetectorConfig(n_classes=len(obj_ds.labels), fpn_channels=16)
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 3, 60, 80)), train=False
+        )
+        run_dir = tmp_path / "det"
+        save_checkpoint(
+            run_dir,
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})},
+            epoch=1, config={"fpn_channels": 16, "image_size": (60, 80)},
+        )
+        out_dir = tmp_path / "out"
+        rc = main([
+            "--split-dir", str(bop_fixture["split"]),
+            "--models-dir", str(bop_fixture["root"] / "models"),
+            "--detector-run", str(run_dir),
+            "--detection-th", "0.0",
+            "--out-dir", str(out_dir),
+        ])
+        assert rc == 0
+        import json
+        summary = json.loads((out_dir / "summary_rank0.json").read_text())
+        assert summary["n_gt"] == 3  # untrained net: mAP ~0, GT counted
+        assert (out_dir / "detections_rank0.json").exists()
