@@ -15,6 +15,7 @@ the same jit; group-wise top-k uses masked segment ops instead of pandas.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Dict, Optional, Tuple
 
@@ -40,6 +41,29 @@ from happypose_tpu.ops.segment_ops import group_keys, topk_per_group
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# Module-level jitted stage functions: the jit cache keys on the *model*
+# (a frozen linen dataclass — equal configs hash equal), not on the
+# PoseEstimator instance, so constructing a new estimator never recompiles
+# (round-1 "jit-keyed-on-self" known limit, docs/scaling.md).
+@functools.partial(jax.jit, static_argnames=("model",))
+def _coarse_logits_fn(model, variables, images, K, obj_ids, TCO, assets,
+                      meshes):
+    out = model.apply(
+        variables, images, K, obj_ids, TCO, assets, meshes, n_iterations=1
+    )
+    return out.renderings_logits[0, :, 0]  # [chunk]
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n_iterations"))
+def _refine_fn(model, variables, images, K, obj_ids, TCO, assets, meshes,
+               n_iterations):
+    out = model.apply(
+        variables, images, K, obj_ids, TCO, assets, meshes,
+        n_iterations=n_iterations,
+    )
+    return out.TCO_output  # [n_iter, chunk, 4, 4]
 
 
 class PoseEstimator:
@@ -79,18 +103,11 @@ class PoseEstimator:
             self.coarse_model is not None
             and self.coarse_model.cfg.predict_rendered_views_logits
         )
+        self._depth_refiners: Dict[tuple, object] = {}
 
     # ------------------------------------------------------------------
     # MegaPose coarse: score detections x SO(3)-grid hypotheses
     # ------------------------------------------------------------------
-
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _coarse_score_chunk(self, variables, images, K, obj_ids, TCO, meshes):
-        out = self.coarse_model.apply(
-            variables, images, K, obj_ids, TCO, self.assets, meshes,
-            n_iterations=1,
-        )
-        return out.renderings_logits[0, :, 0]  # [chunk]
 
     def forward_coarse(
         self, obs: ObservationBatch, detections: DetectionBatch
@@ -158,7 +175,10 @@ class PoseEstimator:
             Kc, oc, ic, Tc = args
             imgs = obs.images[ic]
             mc = self.meshes.select(oc)
-            return self._coarse_score_chunk(self.coarse_vars, imgs, Kc, oc, Tc, mc)
+            return _coarse_logits_fn(
+                self.coarse_model, self.coarse_vars, imgs, Kc, oc, Tc,
+                self.assets, mc,
+            )
 
         logits = jax.lax.map(
             body,
@@ -210,15 +230,6 @@ class PoseEstimator:
     # Refiner
     # ------------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnames=("self", "n_iterations"))
-    def _refine_chunk(self, variables, images, K, obj_ids, TCO, meshes,
-                      n_iterations):
-        out = self.refiner_model.apply(
-            variables, images, K, obj_ids, TCO, self.assets, meshes,
-            n_iterations=n_iterations,
-        )
-        return out.TCO_output  # [n_iter, chunk, 4, 4]
-
     def forward_refiner(
         self, obs: ObservationBatch, estimates: PoseEstimateBatch,
         n_iterations: Optional[int] = None,
@@ -247,8 +258,9 @@ class PoseEstimator:
             Kc, oc, ic, Tc = args
             imgs = obs.images[ic]
             mc = self.meshes.select(oc)
-            return self._refine_chunk(
-                self.refiner_vars, imgs, Kc, oc, Tc, mc, n_iterations
+            return _refine_fn(
+                self.refiner_model, self.refiner_vars, imgs, Kc, oc, Tc,
+                self.assets, mc, n_iterations,
             )
 
         all_iters = jax.lax.map(
@@ -263,18 +275,12 @@ class PoseEstimator:
         all_iters = jnp.moveaxis(all_iters, 1, 0).reshape(n_iterations, Np, 4, 4)
         all_iters = all_iters[:, :N]
 
-        per_iter = {}
-        for it in range(n_iterations):
-            upd = replace_valid(estimates, estimates.valid)
-            upd = PoseEstimateBatch(
-                poses=all_iters[it], K=estimates.K, obj_ids=estimates.obj_ids,
-                batch_im_ids=estimates.batch_im_ids,
-                instance_ids=estimates.instance_ids,
-                hypothesis_ids=estimates.hypothesis_ids,
-                scores=estimates.scores, coarse_logits=estimates.coarse_logits,
-                pose_logits=estimates.pose_logits, valid=estimates.valid,
+        per_iter = {
+            f"iteration={it + 1}": dataclasses.replace(
+                estimates, poses=all_iters[it]
             )
-            per_iter[f"iteration={it + 1}"] = upd
+            for it in range(n_iterations)
+        }
         return per_iter[f"iteration={n_iterations}"], per_iter
 
     # ------------------------------------------------------------------
@@ -290,14 +296,7 @@ class PoseEstimator:
             estimates.poses,
         )
         logits = jnp.where(estimates.valid, logits, -jnp.inf)
-        return PoseEstimateBatch(
-            poses=estimates.poses, K=estimates.K, obj_ids=estimates.obj_ids,
-            batch_im_ids=estimates.batch_im_ids,
-            instance_ids=estimates.instance_ids,
-            hypothesis_ids=estimates.hypothesis_ids,
-            scores=estimates.scores, coarse_logits=estimates.coarse_logits,
-            pose_logits=logits, valid=estimates.valid,
-        )
+        return dataclasses.replace(estimates, pose_logits=logits)
 
     # ------------------------------------------------------------------
     # Selection
@@ -394,14 +393,7 @@ class PoseEstimator:
             )
             results.update(per_iter)
             # CosyPose has no scoring model; score = detection score
-            final = PoseEstimateBatch(
-                poses=final.poses, K=final.K, obj_ids=final.obj_ids,
-                batch_im_ids=final.batch_im_ids,
-                instance_ids=final.instance_ids,
-                hypothesis_ids=final.hypothesis_ids, scores=final.scores,
-                coarse_logits=final.coarse_logits,
-                pose_logits=final.scores, valid=final.valid,
-            )
+            final = dataclasses.replace(final, pose_logits=final.scores)
         if cfg.run_depth_refiner and obs.depth is not None:
             final = self.run_depth_refiner(obs, final)
             results["depth_refined"] = final
@@ -437,7 +429,13 @@ class PoseEstimator:
             if self.cfg.depth_refiner == "teaserpp"
             else ICPRefiner
         )
-        icp = refiner_cls(self.assets, render_fn, resolution=(h, w))
+        # cache the refiner (and its jit) across calls — round 1 rebuilt
+        # both per call
+        key = (refiner_cls, render_fn, (h, w))
+        icp = self._depth_refiners.get(key)
+        if icp is None:
+            icp = refiner_cls(self.assets, render_fn, resolution=(h, w))
+            self._depth_refiners[key] = icp
         poses = icp.refine(
             estimates.obj_ids,
             estimates.poses,
@@ -448,14 +446,7 @@ class PoseEstimator:
         poses = jnp.where(
             estimates.valid[:, None, None], poses, estimates.poses
         )
-        return PoseEstimateBatch(
-            poses=poses, K=estimates.K, obj_ids=estimates.obj_ids,
-            batch_im_ids=estimates.batch_im_ids,
-            instance_ids=estimates.instance_ids,
-            hypothesis_ids=estimates.hypothesis_ids,
-            scores=estimates.scores, coarse_logits=estimates.coarse_logits,
-            pose_logits=estimates.pose_logits, valid=estimates.valid,
-        )
+        return dataclasses.replace(estimates, poses=poses)
 
     def _forward_coarse_pose_model(self, obs, estimates):
         """CosyPose coarse = a pose model run n_coarse_iterations."""

@@ -20,6 +20,25 @@ import numpy as np
 from happypose_tpu.meshes.io import Mesh
 
 
+def _resize_texture(tex: np.ndarray, size: int) -> np.ndarray:
+    """Resample a [TH, TW, 3] float texture to [size, size, 3] (bilinear)."""
+    th, tw = tex.shape[:2]
+    if (th, tw) == (size, size):
+        return tex.astype(np.float32)
+    try:
+        from PIL import Image
+
+        img = Image.fromarray(
+            np.clip(tex * 255.0, 0, 255).astype(np.uint8)
+        ).resize((size, size), Image.BILINEAR)
+        return np.asarray(img, np.float32) / 255.0
+    except Exception:
+        # nearest-neighbor numpy fallback
+        yi = (np.linspace(0, th - 1, size)).astype(np.int64)
+        xi = (np.linspace(0, tw - 1, size)).astype(np.int64)
+        return tex[yi][:, xi].astype(np.float32)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class BatchedMeshes:
@@ -76,6 +95,11 @@ class RenderAssets:
       faces_mask: [n_obj, F] bool.
       vertex_colors: [n_obj, V, 3] float32 RGB in [0, 1].
       vertex_normals: [n_obj, V, 3] float32.
+      vertex_uv: [n_obj, V, 2] float32 in [0, 1] (0 where untextured).
+      textures: [n_obj, T, T, 3] float32 RGB in [0, 1] (a common padded
+        square size; 1x1 gray for untextured-only databases).
+      has_texture: [n_obj] bool — per object, whether the renderer should
+        sample `textures` via interpolated UVs instead of vertex colors.
     """
 
     vertices: jax.Array
@@ -83,11 +107,15 @@ class RenderAssets:
     faces_mask: jax.Array
     vertex_colors: jax.Array
     vertex_normals: jax.Array
+    vertex_uv: jax.Array
+    textures: jax.Array
+    has_texture: jax.Array
 
     def tree_flatten(self):
         return (
             (self.vertices, self.faces, self.faces_mask, self.vertex_colors,
-             self.vertex_normals),
+             self.vertex_normals, self.vertex_uv, self.textures,
+             self.has_texture),
             None,
         )
 
@@ -96,12 +124,18 @@ class RenderAssets:
         return cls(*children)
 
     def select(self, obj_ids: jax.Array) -> "RenderAssets":
+        # NOTE: textures are NOT gathered per instance (that would
+        # materialize [B, T, T, 3]); the renderer samples them lazily with
+        # the instance's object id.
         return RenderAssets(
             vertices=self.vertices[obj_ids],
             faces=self.faces[obj_ids],
             faces_mask=self.faces_mask[obj_ids],
             vertex_colors=self.vertex_colors[obj_ids],
             vertex_normals=self.vertex_normals[obj_ids],
+            vertex_uv=self.vertex_uv[obj_ids],
+            textures=self.textures,
+            has_texture=self.has_texture[obj_ids],
         )
 
 
@@ -196,13 +230,24 @@ class MeshDataBase:
         )
 
     def render_assets(
-        self, n_vertices: Optional[int] = None, n_faces: Optional[int] = None
+        self,
+        n_vertices: Optional[int] = None,
+        n_faces: Optional[int] = None,
+        texture_size: int = 256,
+        bake_textures: bool = False,
     ) -> RenderAssets:
         """Build the padded triangle-soup tensors for the rasterizer.
 
         Padding faces are degenerate (all indices 0) AND masked, so a
         rasterizer that ignores the mask still can't produce coverage from
         them (zero-area triangles).
+
+        Textured meshes (BOP/GSO `TextureFile` PLYs, OBJ+mtl) get their
+        images resampled to a common `texture_size` square and sampled by
+        the renderer via perspective-correct UVs (the reference renders
+        them through panda3d, panda3d_scene_renderer.py:206-219).
+        `bake_textures=True` instead folds textures into per-vertex colors
+        at build time (cheaper, lossy — detail limited by vertex density).
         """
         n_obj = len(self.labels)
         if n_vertices is None:
@@ -210,14 +255,28 @@ class MeshDataBase:
         if n_faces is None:
             n_faces = max(len(self.meshes[l].faces) for l in self.labels)
 
+        meshes = {
+            l: (self.meshes[l].with_baked_texture() if bake_textures
+                else self.meshes[l])
+            for l in self.labels
+        }
+        any_texture = any(
+            m.texture is not None and m.vertex_uv is not None
+            for m in meshes.values()
+        )
+        T = texture_size if any_texture else 1
+
         V = np.zeros((n_obj, n_vertices, 3), np.float32)
         F = np.zeros((n_obj, n_faces, 3), np.int32)
         Fm = np.zeros((n_obj, n_faces), bool)
         C = np.full((n_obj, n_vertices, 3), 0.5, np.float32)
         N = np.zeros((n_obj, n_vertices, 3), np.float32)
+        UV = np.zeros((n_obj, n_vertices, 2), np.float32)
+        TEX = np.full((n_obj, T, T, 3), 0.5, np.float32)
+        HT = np.zeros((n_obj,), bool)
 
         for i, label in enumerate(self.labels):
-            mesh = self.meshes[label]
+            mesh = meshes[label]
             scale = self.scales.get(label, 1.0)
             nv, nf = len(mesh.vertices), len(mesh.faces)
             assert nv <= n_vertices and nf <= n_faces, (
@@ -230,6 +289,13 @@ class MeshDataBase:
             if mesh.vertex_colors is not None:
                 C[i, :nv] = mesh.vertex_colors
             N[i, :nv] = mesh.vertex_normals
+            if mesh.texture is not None and mesh.vertex_uv is not None:
+                UV[i, :nv] = np.clip(mesh.vertex_uv, 0.0, 1.0)
+                TEX[i] = _resize_texture(mesh.texture, T)
+                HT[i] = True
+                # baked colors double as the fallback for vertex-color-only
+                # consumers (visualization, gltf export)
+                C[i, :nv] = mesh.sample_texture_at_uv(mesh.vertex_uv)
 
         return RenderAssets(
             vertices=jnp.asarray(V),
@@ -237,4 +303,7 @@ class MeshDataBase:
             faces_mask=jnp.asarray(Fm),
             vertex_colors=jnp.asarray(C),
             vertex_normals=jnp.asarray(N),
+            vertex_uv=jnp.asarray(UV),
+            textures=jnp.asarray(TEX),
+            has_texture=jnp.asarray(HT),
         )

@@ -333,10 +333,40 @@ class PosePredictor(nn.Module):
     ) -> PoseOutputs:
         if not self.cfg.input_depth:
             images = images[:, :3]
-        outs = []
-        TCO = TCO_input
-        for _ in range(n_iterations):
-            o = self._iteration(images, K, obj_ids, TCO, assets, meshes, train)
-            outs.append(o)
-            TCO = o.TCO_output
-        return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
+
+        def body(mdl, TCO, _):
+            o = mdl._iteration(images, K, obj_ids, TCO, assets, meshes, train)
+            return o.TCO_output, o
+
+        if n_iterations == 1 or self.is_initializing():
+            # single compile of the body; at init the scan wrapper is
+            # skipped (variable creation inside carried collections is
+            # iteration-independent anyway)
+            outs = []
+            TCO = TCO_input
+            for _ in range(n_iterations):
+                TCO, o = body(self, TCO, None)
+                outs.append(o)
+            return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *outs)
+
+        # lax.scan over iterations: ONE compiled render+CNN body regardless
+        # of n_iterations (the reference unrolls in Python —
+        # pose_rigid.py:546-674 — which is free under eager torch but
+        # compiles n copies under jit; SURVEY.md §7)
+        if train:
+            scan = nn.scan(
+                body,
+                variable_broadcast="params",
+                variable_carry="batch_stats",
+                split_rngs={"params": False},
+                length=n_iterations,
+            )
+        else:
+            scan = nn.scan(
+                body,
+                variable_broadcast=["params", "batch_stats"],
+                split_rngs={"params": False},
+                length=n_iterations,
+            )
+        _, outs = scan(self, TCO_input, None)
+        return outs

@@ -153,6 +153,70 @@ def _zbuffer_scan(
     return best_id, best_iz
 
 
+def shade_lambert(
+    rgb: jax.Array,  # [..., H, W, 3] albedo
+    normals: jax.Array,  # [..., H, W, 3] unit, camera-facing
+    light_ambient: float,
+    light_diffuse: float,
+) -> jax.Array:
+    """Headlight Lambert: light from the camera, direction +z in camera
+    frame. Shared by the XLA and Pallas render paths (applied AFTER texture
+    resolution so textured albedo shades identically to vertex colors)."""
+    lambert = jnp.maximum(-normals[..., 2], 0.0)
+    shade = jnp.clip(light_ambient + light_diffuse * lambert, 0.0, 1.0)
+    return jnp.clip(rgb * shade[..., None], 0.0, 1.0)
+
+
+def sample_textures_at(
+    textures: jax.Array,  # [n_obj, T, T, 3]
+    obj_ids: jax.Array,  # [B]
+    uv: jax.Array,  # [B, H, W, 2] in [0, 1]
+) -> jax.Array:
+    """Bilinear texture lookup -> [B, H, W, 3].
+
+    Flat-index gather over the whole texture atlas (no [B, T, T, 3]
+    materialization — B can be a 576-hypothesis coarse batch). v=0 is the
+    image BOTTOM (OBJ/GL convention); textures store row 0 at the top.
+    """
+    n_obj, T = textures.shape[0], textures.shape[1]
+    flat = textures.reshape(n_obj * T * T, 3)
+    u = jnp.clip(uv[..., 0], 0.0, 1.0) * (T - 1)
+    v = (1.0 - jnp.clip(uv[..., 1], 0.0, 1.0)) * (T - 1)
+    x0f = jnp.floor(u)
+    y0f = jnp.floor(v)
+    fx = (u - x0f)[..., None]
+    fy = (v - y0f)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, T - 1)
+    y1 = jnp.minimum(y0 + 1, T - 1)
+    base = (obj_ids.astype(jnp.int32) * T * T)[:, None, None]
+
+    def g(y, x):
+        return flat[base + y * T + x]
+
+    return (
+        g(y0, x0) * (1 - fx) * (1 - fy)
+        + g(y0, x1) * fx * (1 - fy)
+        + g(y1, x0) * (1 - fx) * fy
+        + g(y1, x1) * fx * fy
+    )
+
+
+def resolve_albedo(
+    rgb_attr: jax.Array,  # [B, H, W, 3] interpolated color channels
+    textures: jax.Array,  # [n_obj, T, T, 3]
+    obj_ids: jax.Array,  # [B]
+    has_texture: jax.Array,  # [B] bool
+) -> jax.Array:
+    """Textured instances carry (u, v, 0) in their color channels; resolve
+    them to sampled texture RGB. Untextured instances pass through."""
+    if textures.shape[1] == 1:  # untextured database: skip the gathers
+        return rgb_attr
+    tex_rgb = sample_textures_at(textures, obj_ids, rgb_attr[..., 0:2])
+    return jnp.where(has_texture[:, None, None, None], tex_rgb, rgb_attr)
+
+
 def _shade(
     face_id: jax.Array,
     fd: _FaceData,

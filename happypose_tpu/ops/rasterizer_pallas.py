@@ -3,15 +3,24 @@
 Same outputs as `rasterizer.render_batch` (rgb/normals/depth/mask), built
 for the MXU with zero per-pixel gathers:
 
-- Host-XLA side reduces every face to TEN affine functions of the pixel
-  coordinate: 3 normalized edge functions (coverage), affine 1/z, and six
-  attribute*(1/z) channels (rgb, camera-frame normal) — perspective-correct
-  interpolation is `(affine attr*iz) / (affine iz)`.
+- Host-XLA side reduces every face to SIXTEEN rows that are affine
+  functions of the pixel coordinate: 3 normalized edge functions
+  (coverage), affine 1/z, six attribute*(1/z) channels (rgb, camera-frame
+  normal) — perspective-correct interpolation is
+  `(affine attr*iz) / (affine iz)` — and six CONSTANT rows (a=b=0)
+  carrying the per-face 1/z clamp range and screen bbox, so no second
+  face-info buffer is needed.
+- The packed face database is stored **coefficient-major**
+  `[B, n_chunks, 3, N_ROWS*CHUNK]`: the trailing dim is lane-aligned
+  (multiples of 128), so a chunk block costs `3(->8) * N_ROWS*CHUNK * 4`
+  bytes of VMEM. (Round 1 stored `[..., N_ROWS*CHUNK, 3]`, whose 3-lane
+  trailing dim Mosaic pads to 128 — a 42x VMEM blow-up that OOM'd the
+  16 MB scoped budget at bench shapes. See BENCH_r01.json.)
 - The kernel evaluates a 64-face chunk against a pixel tile with one
-  [10*CHUNK, 3] @ [3, TILE_PX] matmul (faces in sublanes, pixels in lanes),
-  does the coverage test + z-compare on the VPU, and resolves the winning
-  face's attributes with a one-hot masked sublane reduction — no face-id
-  buffer, no second pass, no gathers.
+  [3, N_ROWS*CHUNK]^T @ [3, TILE_PX] matmul (faces in sublanes of the
+  result, pixels in lanes), does the coverage test + z-compare on the
+  VPU, and resolves the winning face's attributes with a one-hot masked
+  sublane reduction — no face-id buffer, no second pass, no gathers.
 - Chunk-level screen-bbox culling via scalar prefetch + spatial face
   sorting (the binning that replaces a GL rasterizer's traversal).
 - f32 robustness: tile-local coordinate shift; per-face 1/z clamping so
@@ -20,12 +29,16 @@ for the MXU with zero per-pixel gathers:
 Final shading (normal normalize/flip + headlight Lambert) is elementwise
 XLA after the kernel. Replaces the reference's multiprocess OpenGL pool
 (/root/reference/happypose/toolbox/renderer/panda3d_batch_renderer.py).
+
+`interpret=True` runs the *same kernels* through the Pallas interpreter
+(CPU tests exercise the exact code the TPU compiles; the round-1 OOM
+regression is now caught by `tests/test_rasterizer_pallas.py`).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,20 +54,60 @@ from happypose_tpu.ops.rasterizer import (
 
 CHUNK = 64  # faces per chunk
 N_AFF = 10  # w0, w1, w2, iz, (r, g, b, nx, ny, nz) * iz
+N_CONST = 6  # izmin, izmax, umin, vmin, umax, vmax (a=b=0 rows)
+N_ROWS = N_AFF + N_CONST  # 16 row groups -> N_ROWS*CHUNK = 1024 lanes
 N_OUT_ROWS = 8  # iz + 6 attrs + 1 pad (sublane-aligned)
-TILE_H = 16
+TILE_H = 8
 TILE_W = 128
 TILE_PX = TILE_H * TILE_W
 
+# Scoped-VMEM budget model (bytes) — validated by
+# tests/test_rasterizer_pallas.py::test_vmem_budget_at_bench_shapes.
+_VMEM_LIMIT = 16 * 1024 * 1024
+_VMEM_HEADROOM = 2 * 1024 * 1024
 
-def _face_affine_coeffs_fused(fd, face_attr_iz, resolution):
-    """Affine coefficients for coverage, 1/z and attribute*(1/z) channels.
+
+def _chunk_block_bytes(n_chunks: int) -> int:
+    """VMEM bytes of the face-DB block for `n_chunks` chunks.
+
+    Sublane dim 3 pads to 8; lane dim N_ROWS*CHUNK is already 128-aligned.
+    """
+    return n_chunks * 8 * (N_ROWS * CHUNK) * 4
+
+
+def _tilemajor_vmem_bytes(n_chunks: int, tile_px: int) -> int:
+    """Full scoped-VMEM footprint of the tile-major kernel.
+
+    Counts: double-buffered face DB + output blocks, scratch, the matmul
+    result R [N_ROWS*CHUNK, tile_px], and ~16 chunk-sized VPU temporaries
+    (cov/inside/cand/onehot/slices). This is the budget the round-1
+    heuristic failed to model (it counted only the face DB).
+    """
+    in_buf = 2 * _chunk_block_bytes(n_chunks)
+    out_buf = 2 * N_OUT_ROWS * tile_px * 4
+    scratch = (8 + 8) * tile_px * 4
+    r_tmp = N_ROWS * CHUNK * tile_px * 4
+    vpu_tmp = 16 * CHUNK * tile_px * 4
+    return in_buf + out_buf + scratch + r_tmp + vpu_tmp
+
+
+def _dense_vmem_bytes(n_tiles: int, tile_px: int) -> int:
+    """Scoped-VMEM footprint of the dense-sweep kernel."""
+    in_buf = 2 * _chunk_block_bytes(1)
+    out_buf = 2 * n_tiles * N_OUT_ROWS * tile_px * 4
+    r_tmp = N_ROWS * CHUNK * tile_px * 4
+    vpu_tmp = 16 * CHUNK * tile_px * 4
+    return in_buf + out_buf + r_tmp + vpu_tmp
+
+
+def _face_affine_rows(fd, face_attr_iz, resolution):
+    """Per-face packed rows: affine coefficients + constant rows.
 
     Args:
       fd: _FaceData (u, v [F, 3], inv_z [F, 3], valid [F]).
       face_attr_iz: [F, 3, 6] per-vertex (attr * inv_z) values.
     Returns:
-      A [F, 3, N_AFF] (coeff a/b/c in rows), izrange [F, 2], bbox [F, 4].
+      A [F, 3, N_ROWS] (a/b/c coefficients in dim 1), bbox [F, 4].
     """
     H, W = resolution
     u0, u1, u2 = fd.u[:, 0], fd.u[:, 1], fd.u[:, 2]
@@ -85,15 +138,10 @@ def _face_affine_coeffs_fused(fd, face_attr_iz, resolution):
 
     # iz and attribute channels are linear in bary: coeff = sum_j bary_j*val_j
     vals = jnp.concatenate([fd.inv_z[..., None], face_attr_iz], axis=-1)
-    chan = jnp.einsum("fvc,fvk->fck", bary, vals)  # [F, 3, 7]
-
-    A = jnp.concatenate(
-        [jnp.moveaxis(bary, 1, 2), chan], axis=-1
-    )  # [F, 3, N_AFF]
+    chan = jnp.einsum("fvc,fvk->fck", bary, vals)  # [F, 3(abc), 7]
 
     izmin = jnp.min(fd.inv_z, axis=-1)
     izmax = jnp.max(fd.inv_z, axis=-1)
-    izrange = jnp.stack([izmin, izmax], axis=-1)
 
     big = jnp.float32(1e9)
     umin = jnp.clip(jnp.min(fd.u, -1), 0.0, W - 1.0)
@@ -109,7 +157,18 @@ def _face_affine_coeffs_fused(fd, face_attr_iz, resolution):
         ],
         axis=-1,
     )
-    return A, izrange, bbox
+
+    # constant rows ride the c coefficient (a=b=0): invariant under the
+    # kernel's tile-local coordinate shift and come out of the matmul as
+    # per-face values broadcast over the pixel tile.
+    const_vals = jnp.stack([izmin, izmax, umin, vmin, umax, vmax], -1)
+    zeros = jnp.zeros_like(const_vals)
+    const_rows = jnp.stack([zeros, zeros, const_vals], axis=1)  # [F, 3, 6]
+
+    A = jnp.concatenate(
+        [jnp.moveaxis(bary, 1, 2), chan, const_rows], axis=-1
+    )  # [F, 3, N_ROWS]
+    return A, bbox
 
 
 def _sort_key(bbox: jax.Array) -> jax.Array:
@@ -121,12 +180,72 @@ def _sort_key(bbox: jax.Array) -> jax.Array:
     return kv * 256 + ku
 
 
-def _make_kernel(n_tw: int):
+def _eval_chunk(At3, Mt, gu, gv, tu0, tv0, tile_px):
+    """Shared chunk evaluation: packed rows -> (cand iz, R) for one chunk.
+
+    At3: [3, N_ROWS*CHUNK] packed rows. Mt: [3, tile_px] tile-local pixel
+    basis. gu/gv: [1, tile_px] global pixel coords. Returns
+    (cand [CHUNK, tile_px] — candidate 1/z, -1 where not covered;
+     R [N_ROWS*CHUNK, tile_px] — full row evaluations for attr resolve).
+    """
+    # shift constants to tile-local pixel coords (f32-friendly); constant
+    # rows have a=b=0 so they pass through unchanged
+    c_adj = At3[2:3, :] + At3[0:1, :] * tu0 + At3[1:2, :] * tv0
+    At_loc = jnp.concatenate([At3[0:2, :], c_adj], axis=0)
+    R = jax.lax.dot_general(
+        At_loc,
+        Mt,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [N_ROWS*CHUNK, tile_px]
+    W0 = R[0 * CHUNK : 1 * CHUNK, :]
+    W1 = R[1 * CHUNK : 2 * CHUNK, :]
+    W2 = R[2 * CHUNK : 3 * CHUNK, :]
+    IZ = R[3 * CHUNK : 4 * CHUNK, :]
+    IZ = jnp.clip(IZ, R[10 * CHUNK : 11 * CHUNK, :], R[11 * CHUNK : 12 * CHUNK, :])
+    cov = (W0 >= 0) & (W1 >= 0) & (W2 >= 0)
+    # per-face bbox mask: sliver faces can pass the edge test far from the
+    # triangle through f32 coefficient noise
+    inside = (
+        (gu >= R[12 * CHUNK : 13 * CHUNK, :] - 1.0)
+        & (gu <= R[14 * CHUNK : 15 * CHUNK, :] + 1.0)
+        & (gv >= R[13 * CHUNK : 14 * CHUNK, :] - 1.0)
+        & (gv <= R[15 * CHUNK : 16 * CHUNK, :] + 1.0)
+    )
+    cand = jnp.where(cov & inside, IZ, -1.0)  # [CHUNK, tile_px]
+    return cand, R
+
+
+def _resolve_chunk(cand, R, tile_px):
+    """Winner-take-all within a chunk: (best iz [1, px], attrs [6, px])."""
+    best = jnp.max(cand, axis=0, keepdims=True)
+    fidx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, tile_px), 0)
+    amin = jnp.min(jnp.where(cand == best, fidx, CHUNK), axis=0, keepdims=True)
+    onehot = (fidx == amin).astype(jnp.float32)
+    rows = []
+    for k in range(6):
+        Q = R[(4 + k) * CHUNK : (5 + k) * CHUNK, :]
+        rows.append(jnp.sum(Q * onehot, axis=0, keepdims=True))
+    return best, jnp.concatenate(rows, axis=0)
+
+
+def _pixel_basis(tile_h: int, tile_w: int):
+    """Mt [3, tile_px] (tile-local pu, pv, 1) plus [1, tile_px] pu/pv."""
+    tile_px = tile_h * tile_w
+    lane = jax.lax.broadcasted_iota(jnp.int32, (3, tile_px), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (3, tile_px), 0)
+    pu = (lane % tile_w).astype(jnp.float32)
+    pv = (lane // tile_w).astype(jnp.float32)
+    Mt = jnp.where(row == 0, pu, jnp.where(row == 1, pv, 1.0))
+    return Mt, pu[0:1, :], pv[0:1, :]
+
+
+def _make_kernel_dense(n_tw: int):
     # grid order (B, chunks, tiles): tiles iterate fastest so the chunk's
-    # At/finfo blocks stay resident in VMEM across all tiles (block index
+    # At block stays resident in VMEM across all tiles (block index
     # unchanged -> no HBM re-copy); only the culling scalar test runs for
     # non-overlapping tiles.
-    def kernel(bbox_ref, At_ref, finfo_ref, buf_out):
+    def kernel(bbox_ref, At_ref, buf_out):
         t = pl.program_id(2)
         c = pl.program_id(1)
         b = pl.program_id(0)
@@ -155,54 +274,14 @@ def _make_kernel(n_tw: int):
 
         @pl.when(overlap)
         def _():
-            At = At_ref[0, 0]  # [N_AFF*CHUNK, 3]
-            # shift constants to tile-local pixel coords (f32-friendly)
-            c_adj = At[:, 2:3] + At[:, 0:1] * tu0 + At[:, 1:2] * tv0
-            At_loc = jnp.concatenate([At[:, 0:2], c_adj], axis=1)
-
-            # M^T [3, TILE_PX]: rows (pu_local, pv_local, 1), built directly
-            # in target shape (no lane relayouts allowed in mosaic)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (3, TILE_PX), 1)
-            row = jax.lax.broadcasted_iota(jnp.int32, (3, TILE_PX), 0)
-            pu = (lane % TILE_W).astype(jnp.float32)
-            pv = (lane // TILE_W).astype(jnp.float32)
-            Mt = jnp.where(row == 0, pu, jnp.where(row == 1, pv, 1.0))
-
-            R = jnp.dot(At_loc, Mt, preferred_element_type=jnp.float32)
-            W0 = R[0 * CHUNK : 1 * CHUNK, :]
-            W1 = R[1 * CHUNK : 2 * CHUNK, :]
-            W2 = R[2 * CHUNK : 3 * CHUNK, :]
-            IZ = R[3 * CHUNK : 4 * CHUNK, :]
-            fi = finfo_ref[0, 0]  # [CHUNK, 8]
-            IZ = jnp.clip(IZ, fi[:, 0:1], fi[:, 1:2])
-            cov = (W0 >= 0) & (W1 >= 0) & (W2 >= 0)
-            # per-face bbox mask: sliver faces can pass the edge test far
-            # from the triangle through f32 coefficient noise
-            gu = pu[0:1, :] + tu0  # [1, TILE_PX] global pixel coords
-            gv = pv[0:1, :] + tv0
-            inside = (
-                (gu >= fi[:, 2:3] - 1.0)
-                & (gu <= fi[:, 4:5] + 1.0)
-                & (gv >= fi[:, 3:4] - 1.0)
-                & (gv <= fi[:, 5:6] + 1.0)
+            Mt, pu, pv = _pixel_basis(TILE_H, TILE_W)
+            gu = pu + tu0
+            gv = pv + tv0
+            cand, R = _eval_chunk(At_ref[0, 0], Mt, gu, gv, tu0, tv0, TILE_PX)
+            best, attr = _resolve_chunk(cand, R, TILE_PX)
+            new_rows = jnp.concatenate(
+                [best, attr, jnp.zeros((1, TILE_PX), jnp.float32)], axis=0
             )
-            cand = jnp.where(cov & inside, IZ, -1.0)  # [CHUNK, TILE_PX]
-
-            best = jnp.max(cand, axis=0, keepdims=True)  # [1, TILE_PX]
-            # first-winner one-hot (ties resolve to the lowest face index)
-            fidx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE_PX), 0)
-            amin = jnp.min(
-                jnp.where(cand == best, fidx, CHUNK), axis=0, keepdims=True
-            )
-            onehot = (fidx == amin).astype(jnp.float32)
-
-            rows = [best]
-            for k in range(6):
-                Q = R[(4 + k) * CHUNK : (5 + k) * CHUNK, :]
-                rows.append(jnp.sum(Q * onehot, axis=0, keepdims=True))
-            rows.append(jnp.zeros((1, TILE_PX), jnp.float32))
-            new_rows = jnp.concatenate(rows, axis=0)  # [N_OUT_ROWS, TILE_PX]
-
             prev = buf_out[0, pl.ds(t, 1)][0]  # [N_OUT_ROWS, TILE_PX]
             better = (best > prev[0:1, :]) & (best > 0)  # [1, TILE_PX]
             merged = jnp.where(better, new_rows, prev)
@@ -211,10 +290,7 @@ def _make_kernel(n_tw: int):
     return kernel
 
 
-
-
-def _make_kernel_tilemajor(n_tw: int, n_chunks: int, tile_h: int,
-                           tile_w: int):
+def _make_kernel_tilemajor(n_tw: int, n_chunks: int, tile_h: int, tile_w: int):
     """Tile-major kernel: grid (B, tiles), chunks looped INSIDE the kernel.
 
     The dense (B, chunks, tiles) sweep pays a grid-step cost for every
@@ -226,7 +302,7 @@ def _make_kernel_tilemajor(n_tw: int, n_chunks: int, tile_h: int,
     so each output tile is written exactly once."""
     tile_px = tile_h * tile_w
 
-    def kernel(bbox_ref, At_ref, finfo_ref, out_ref, best_scr, acc_scr):
+    def kernel(bbox_ref, At_ref, out_ref, best_scr, acc_scr):
         b = pl.program_id(0)
         t = pl.program_id(1)
         ti = t // n_tw
@@ -237,13 +313,9 @@ def _make_kernel_tilemajor(n_tw: int, n_chunks: int, tile_h: int,
         best_scr[...] = jnp.zeros_like(best_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (3, tile_px), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (3, tile_px), 0)
-        pu = (lane % tile_w).astype(jnp.float32)
-        pv = (lane // tile_w).astype(jnp.float32)
-        Mt = jnp.where(row == 0, pu, jnp.where(row == 1, pv, 1.0))
-        gu = pu[0:1, :] + tu0
-        gv = pv[0:1, :] + tv0
+        Mt, pu, pv = _pixel_basis(tile_h, tile_w)
+        gu = pu + tu0
+        gv = pv + tv0
 
         def body(c, carry):
             umin = bbox_ref[b, c * 4 + 0]
@@ -259,123 +331,35 @@ def _make_kernel_tilemajor(n_tw: int, n_chunks: int, tile_h: int,
 
             @pl.when(overlap)
             def _():
-                At = At_ref[0, c]  # [N_AFF*CHUNK, 3]
-                c_adj = At[:, 2:3] + At[:, 0:1] * tu0 + At[:, 1:2] * tv0
-                At_loc = jnp.concatenate([At[:, 0:2], c_adj], axis=1)
-                R = jnp.dot(At_loc, Mt, preferred_element_type=jnp.float32)
-                W0 = R[0 * CHUNK : 1 * CHUNK, :]
-                W1 = R[1 * CHUNK : 2 * CHUNK, :]
-                W2 = R[2 * CHUNK : 3 * CHUNK, :]
-                IZ = R[3 * CHUNK : 4 * CHUNK, :]
-                fi = finfo_ref[0, c]  # [CHUNK, 8]
-                IZ = jnp.clip(IZ, fi[:, 0:1], fi[:, 1:2])
-                cov = (W0 >= 0) & (W1 >= 0) & (W2 >= 0)
-                inside = (
-                    (gu >= fi[:, 2:3] - 1.0)
-                    & (gu <= fi[:, 4:5] + 1.0)
-                    & (gv >= fi[:, 3:4] - 1.0)
-                    & (gv <= fi[:, 5:6] + 1.0)
+                cand, R = _eval_chunk(
+                    At_ref[0, c], Mt, gu, gv, tu0, tv0, tile_px
                 )
-                cand = jnp.where(cov & inside, IZ, -1.0)
-
-                cbest = jnp.max(cand, axis=0, keepdims=True)
-                fidx = jax.lax.broadcasted_iota(
-                    jnp.int32, (CHUNK, tile_px), 0
-                )
-                amin = jnp.min(
-                    jnp.where(cand == cbest, fidx, CHUNK), axis=0,
-                    keepdims=True,
-                )
-                onehot = (fidx == amin).astype(jnp.float32)
-
+                cbest, attr = _resolve_chunk(cand, R, tile_px)
                 prev = best_scr[0:1, :]
                 better = (cbest > prev) & (cbest > 0)
                 best_scr[0:1, :] = jnp.where(better, cbest, prev)
-                rows = []
-                for k in range(6):
-                    Q = R[(4 + k) * CHUNK : (5 + k) * CHUNK, :]
-                    rows.append(jnp.sum(Q * onehot, axis=0, keepdims=True))
-                new_attr = jnp.concatenate(rows, axis=0)  # [6, tile_px]
-                acc_scr[...] = jnp.where(better, new_attr, acc_scr[...])
+                acc_scr[...] = jnp.where(better, attr, acc_scr[...])
 
             return carry
 
         jax.lax.fori_loop(0, n_chunks, body, 0)
         out_ref[0, 0] = jnp.concatenate(
-            [best_scr[...], acc_scr[...],
-             jnp.zeros((N_OUT_ROWS - 7, tile_px), jnp.float32)],
+            [
+                best_scr[...],
+                acc_scr[...],
+                jnp.zeros((N_OUT_ROWS - 7, tile_px), jnp.float32),
+            ],
             axis=0,
         )
 
     return kernel
 
 
-def _raster_fused_xla(At, finfo, resolution):
-    """jnp reference for the fused kernel: same packed inputs, same outputs."""
-    H, W = resolution
-    B, n_chunks = At.shape[:2]
-    px_u = jnp.tile(jnp.arange(W, dtype=jnp.float32), H)
-    px_v = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W)
-    Mt = jnp.stack([px_u, px_v, jnp.ones_like(px_u)], axis=0)  # [3, H*W]
-
-    def per_image(At_i, finfo_i):
-        def body(carry, inp):
-            best, rows = carry
-            a, z = inp  # [N_AFF*CHUNK, 3], [CHUNK, 8]
-            # chunk-local coordinates (f32 precision, mirrors the kernel's
-            # tile-local shift): constants re-anchored at the chunk bbox min
-            u0 = jnp.min(z[:, 2])
-            v0 = jnp.min(z[:, 3])
-            c_adj = a[:, 2] + a[:, 0] * u0 + a[:, 1] * v0
-            Mt_loc = jnp.stack(
-                [px_u - u0, px_v - v0, jnp.ones_like(px_u)], axis=0
-            )
-            a_loc = jnp.stack([a[:, 0], a[:, 1], c_adj], axis=1)
-            R = a_loc @ Mt_loc  # [N_AFF*CHUNK, H*W]
-            W0 = R[0 * CHUNK : 1 * CHUNK]
-            W1 = R[1 * CHUNK : 2 * CHUNK]
-            W2 = R[2 * CHUNK : 3 * CHUNK]
-            IZ = jnp.clip(R[3 * CHUNK : 4 * CHUNK], z[:, 0:1], z[:, 1:2])
-            cov = (W0 >= 0) & (W1 >= 0) & (W2 >= 0)
-            inside = (
-                (px_u[None, :] >= z[:, 2:3] - 1.0)
-                & (px_u[None, :] <= z[:, 4:5] + 1.0)
-                & (px_v[None, :] >= z[:, 3:4] - 1.0)
-                & (px_v[None, :] <= z[:, 5:6] + 1.0)
-            )
-            cand = jnp.where(cov & inside, IZ, -1.0)
-            cbest = jnp.max(cand, axis=0, keepdims=True)
-            fidx = jnp.arange(CHUNK)[:, None]
-            amin = jnp.min(jnp.where(cand == cbest, fidx, CHUNK), axis=0,
-                           keepdims=True)
-            onehot = (fidx == amin).astype(jnp.float32)
-            new_rows = [cbest]
-            for k in range(6):
-                Q = R[(4 + k) * CHUNK : (5 + k) * CHUNK]
-                new_rows.append(jnp.sum(Q * onehot, axis=0, keepdims=True))
-            new_rows.append(jnp.zeros_like(cbest))
-            new_rows = jnp.concatenate(new_rows, axis=0)
-            better = (cbest > best[0:1]) & (cbest > 0)
-            merged = jnp.where(better, new_rows, best)
-            return (merged, rows), None
-
-        init = (jnp.zeros((N_OUT_ROWS, H * W)), None)
-        (acc, _), _ = jax.lax.scan(body, init, (At_i, finfo_i))
-        return acc
-
-    acc = jax.vmap(per_image)(At, finfo)  # [B, N_OUT_ROWS, H*W]
-    x = acc.reshape(B, N_OUT_ROWS, H, W)
-    iz = x[:, 0]
-    z = jnp.where(iz > 0, 1.0 / jnp.maximum(iz, 1e-12), 0.0)
-    attr = x[:, 1:7] * z[:, None]
-    return iz, attr
-
-
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-@partial(jax.jit, static_argnames=("resolution", "interpret"))
+@partial(jax.jit, static_argnames=("resolution", "interpret", "force_path"))
 def raster_fused_pallas(
     u: jax.Array,
     v: jax.Array,
@@ -384,9 +368,14 @@ def raster_fused_pallas(
     attrs: jax.Array,  # [B, F, 3, 6] per-vertex attributes (rgb + n_cam)
     resolution: Tuple[int, int],
     interpret: bool = False,
+    force_path: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (iz [B, H, W], attr [B, 6, H, W]); attr is already divided by
-    iz (perspective-correct rgb + camera normals, 0 on background)."""
+    iz (perspective-correct rgb + camera normals, 0 on background).
+
+    force_path: None (budget-based dispatch), "tilemajor", or "dense" —
+    tests pin each branch explicitly.
+    """
     H, W = resolution
     B, F = u.shape[:2]
     Fp = _cdiv(F, CHUNK) * CHUNK
@@ -396,64 +385,43 @@ def raster_fused_pallas(
     inv_z = jnp.pad(inv_z, ((0, 0), (0, pad), (0, 0)), constant_values=1.0)
     valid = jnp.pad(valid, ((0, 0), (0, pad)))
     attrs = jnp.pad(attrs, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    n_chunks = Fp // CHUNK
 
     def per_image(u_i, v_i, iz_i, val_i, attr_i):
         fd = _FaceData(u=u_i, v=v_i, inv_z=iz_i, valid=val_i)
         attr_iz = attr_i * iz_i[..., None]
-        A, izr, bbox = _face_affine_coeffs_fused(fd, attr_iz, resolution)
+        A, bbox = _face_affine_rows(fd, attr_iz, resolution)
         perm = jnp.argsort(_sort_key(bbox))
         A = A[perm]
-        izr = izr[perm]
         bbox = bbox[perm]
-        n_chunks = Fp // CHUNK
-        # [n_chunks, N_AFF*CHUNK, 3]: affine groups in separate row blocks
-        At = A.reshape(n_chunks, CHUNK, 3, N_AFF).transpose(0, 3, 1, 2)
-        At = At.reshape(n_chunks, N_AFF * CHUNK, 3)
+        # packed coefficient-major layout [n_chunks, 3(abc), N_ROWS*CHUNK]:
+        # lanes = (row group, face) so the kernel slices row groups as
+        # contiguous CHUNK-row blocks of the matmul result
+        At = A.reshape(n_chunks, CHUNK, 3, N_ROWS).transpose(0, 2, 3, 1)
+        At = At.reshape(n_chunks, 3, N_ROWS * CHUNK)
         bb = bbox.reshape(n_chunks, CHUNK, 4)
-        finfo = jnp.concatenate(
-            [izr.reshape(n_chunks, CHUNK, 2), bb,
-             jnp.zeros((n_chunks, CHUNK, 2))],
-            axis=-1,
-        )  # [c, CHUNK, 8]
         chunk_bbox = jnp.concatenate(
             [jnp.min(bb[..., :2], axis=1), jnp.max(bb[..., 2:], axis=1)],
             axis=-1,
         )
-        return At, finfo, chunk_bbox
+        return At, chunk_bbox
 
-    At, finfo, chunk_bbox = jax.vmap(per_image)(u, v, inv_z, valid, attrs)
+    At, chunk_bbox = jax.vmap(per_image)(u, v, inv_z, valid, attrs)
 
-    n_chunks = Fp // CHUNK
     Hp = _cdiv(H, TILE_H) * TILE_H
     Wp = _cdiv(W, TILE_W) * TILE_W
     n_th = Hp // TILE_H
     n_tw = Wp // TILE_W
     n_tiles = n_th * n_tw
-    grid = (B, n_chunks, n_tiles)
 
-    if interpret:
-        # Pure-XLA mirror of the kernel contract (pallas interpret mode
-        # mis-accumulates revisited output blocks under jit; the compiled
-        # kernel is validated on TPU directly). Test/CPU sizes only.
-        return _raster_fused_xla(At, finfo, (H, W))
-
-    out_shape = jax.ShapeDtypeStruct(
-        (B, n_tiles, N_OUT_ROWS, TILE_PX), jnp.float32
-    )
-
-    def run_full():
+    def run_dense():
         """Lossless chunk×tile sweep (in-kernel bbox culling)."""
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, n_chunks, n_tiles),
             in_specs=[
                 pl.BlockSpec(
-                    (1, 1, N_AFF * CHUNK, 3),
-                    lambda b, c, t, *refs: (b, c, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, CHUNK, 8),
+                    (1, 1, 3, N_ROWS * CHUNK),
                     lambda b, c, t, *refs: (b, c, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -464,20 +432,25 @@ def raster_fused_pallas(
                 memory_space=pltpu.VMEM,
             ),
         )
-        return pl.pallas_call(
-            _make_kernel(n_tw),
+        buf = pl.pallas_call(
+            _make_kernel_dense(n_tw),
             grid_spec=grid_spec,
-            out_shape=out_shape,
+            out_shape=jax.ShapeDtypeStruct(
+                (B, n_tiles, N_OUT_ROWS, TILE_PX), jnp.float32
+            ),
             interpret=interpret,
-        )(chunk_bbox.reshape(B, n_chunks * 4), At, finfo)
+        )(chunk_bbox.reshape(B, n_chunks * 4), At)
+        x = buf.reshape(B, n_th, n_tw, N_OUT_ROWS, TILE_H, TILE_W)
+        x = x.transpose(0, 3, 1, 4, 2, 5).reshape(B, N_OUT_ROWS, Hp, Wp)
+        return x[:, :, :H, :W]
 
     def run_tilemajor(tile_h: int, tile_w: int):
         """Grid (B, tiles); chunk loop inside the kernel over the
         VMEM-resident per-image face database (see _make_kernel_tilemajor).
         Eliminates the per-(chunk, tile) grid-step cost that made the dense
-        sweep linear in chunk count even under full culling. Uses its own
-        (smaller) tile so the resident face DB + tile temporaries fit the
-        scoped-VMEM budget. Returns untiled [B, N_OUT_ROWS, H, W]."""
+        sweep linear in chunk count even under full culling. Requires the
+        whole per-image face database resident — `_tilemajor_vmem_bytes`
+        gates dispatch. Returns untiled [B, N_OUT_ROWS, H, W]."""
         tile_px = tile_h * tile_w
         hp = _cdiv(H, tile_h) * tile_h
         wp = _cdiv(W, tile_w) * tile_w
@@ -488,12 +461,7 @@ def raster_fused_pallas(
             grid=(B, th_ * tw_),
             in_specs=[
                 pl.BlockSpec(
-                    (1, n_chunks, N_AFF * CHUNK, 3),
-                    lambda b, t, *refs: (b, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, n_chunks, CHUNK, 8),
+                    (1, n_chunks, 3, N_ROWS * CHUNK),
                     lambda b, t, *refs: (b, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -515,7 +483,7 @@ def raster_fused_pallas(
                 (B, th_ * tw_, N_OUT_ROWS, tile_px), jnp.float32
             ),
             interpret=interpret,
-        )(chunk_bbox.reshape(B, n_chunks * 4), At, finfo)
+        )(chunk_bbox.reshape(B, n_chunks * 4), At)
         x = buf.reshape(B, th_, tw_, N_OUT_ROWS, tile_h, tile_w)
         x = x.transpose(0, 3, 1, 4, 2, 5).reshape(B, N_OUT_ROWS, hp, wp)
         return x[:, :, :H, :W]
@@ -525,18 +493,18 @@ def raster_fused_pallas(
     # 3x fewer grid steps but no wall-clock win (135 vs 141 renders/s) —
     # the full sweep amortizes its face-block loads across the whole tile
     # axis, which binning necessarily gives up. The tile-major kernel keeps
-    # that amortization AND removes the culled grid steps; it needs the
-    # whole per-image face database resident, so very large meshes fall
-    # back to the dense sweep.
-    face_vmem_bytes = n_chunks * (N_AFF * CHUNK * 3 + CHUNK * 8) * 4
-    if face_vmem_bytes <= 4 * 1024 * 1024:
-        x = run_tilemajor(tile_h=8, tile_w=128)
-    else:
-        buf = run_full()
-        # un-tile [B, n_tiles, R, TILE_PX] -> [B, R, Hp, Wp] -> crop
-        x = buf.reshape(B, n_th, n_tw, N_OUT_ROWS, TILE_H, TILE_W)
-        x = x.transpose(0, 3, 1, 4, 2, 5).reshape(B, N_OUT_ROWS, Hp, Wp)
-        x = x[:, :, :H, :W]
+    # that amortization AND removes the culled grid steps; very large
+    # meshes fall back to the dense sweep.
+    use_tilemajor = (
+        _tilemajor_vmem_bytes(n_chunks, TILE_PX)
+        <= _VMEM_LIMIT - _VMEM_HEADROOM
+    )
+    if force_path == "tilemajor":
+        use_tilemajor = True
+    elif force_path == "dense":
+        use_tilemajor = False
+    x = run_tilemajor(TILE_H, TILE_W) if use_tilemajor else run_dense()
+
     iz = x[:, 0]
     z = jnp.where(iz > 0, 1.0 / jnp.maximum(iz, 1e-12), 0.0)
     attr = x[:, 1:7] * z[:, None]
@@ -546,7 +514,8 @@ def raster_fused_pallas(
 @partial(
     jax.jit,
     static_argnames=(
-        "resolution", "light_ambient", "light_diffuse", "interpret"
+        "resolution", "light_ambient", "light_diffuse", "interpret",
+        "force_path",
     ),
 )
 def render_batch_pallas(
@@ -558,6 +527,7 @@ def render_batch_pallas(
     light_ambient: float = 0.6,
     light_diffuse: float = 0.6,
     interpret: bool = False,
+    force_path: Optional[str] = None,
 ) -> RenderOutput:
     """Drop-in replacement for `rasterizer.render_batch` (TPU kernel)."""
     inst = assets.select(obj_ids)
@@ -578,7 +548,7 @@ def render_batch_pallas(
 
     iz, attr = raster_fused_pallas(
         fd_all.u, fd_all.v, fd_all.inv_z, fd_all.valid, attrs, resolution,
-        interpret=interpret,
+        interpret=interpret, force_path=force_path,
     )
 
     hit = iz > 0

@@ -1,12 +1,21 @@
-"""Pallas z-buffer kernel vs the pure-JAX reference rasterizer (interpret
-mode on CPU; the same kernel compiles for TPU)."""
+"""Pallas z-buffer kernels vs the pure-JAX reference rasterizer.
+
+`interpret=True` runs the REAL kernel bodies (`_make_kernel_tilemajor` /
+`_make_kernel_dense`) through the Pallas interpreter on CPU — the exact
+code the TPU compiles. Both dispatch branches are pinned via `force_path`
+so neither can silently rot (round-1 shipped a VMEM OOM precisely because
+no test compiled the kernels). A static VMEM-budget test locks the bench
+shapes under the 16 MB scoped limit.
+"""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from happypose_tpu.meshes.database import MeshDataBase
 from happypose_tpu.meshes.io import make_box_mesh, make_uv_sphere
 from happypose_tpu.ops.rasterizer import render_batch
+from happypose_tpu.ops import rasterizer_pallas as rp
 from happypose_tpu.ops.rasterizer_pallas import render_batch_pallas
 
 H, W = 64, 128  # small for interpret-mode speed; W == one lane tile
@@ -30,13 +39,7 @@ def _setup():
     return db, assets, jnp.asarray(K), jnp.asarray(TCO)
 
 
-def test_pallas_matches_reference():
-    db, assets, K, TCO = _setup()
-    obj_ids = jnp.asarray([db.id_of("sphere"), db.id_of("box")], jnp.int32)
-    ref = render_batch(assets, obj_ids, TCO, K, resolution=(H, W))
-    out = render_batch_pallas(
-        assets, obj_ids, TCO, K, resolution=(H, W), interpret=True
-    )
+def _check_against_reference(ref, out):
     ref_m = np.asarray(ref.mask)
     out_m = np.asarray(out.mask)
     # coverage may differ on exact-edge pixels; demand > 99% agreement
@@ -60,6 +63,18 @@ def test_pallas_matches_reference():
     assert n_ok.mean() > 0.95, f"normals agreement {n_ok.mean()}"
 
 
+@pytest.mark.parametrize("force_path", ["tilemajor", "dense"])
+def test_pallas_kernels_match_reference(force_path):
+    db, assets, K, TCO = _setup()
+    obj_ids = jnp.asarray([db.id_of("sphere"), db.id_of("box")], jnp.int32)
+    ref = render_batch(assets, obj_ids, TCO, K, resolution=(H, W))
+    out = render_batch_pallas(
+        assets, obj_ids, TCO, K, resolution=(H, W), interpret=True,
+        force_path=force_path,
+    )
+    _check_against_reference(ref, out)
+
+
 def test_pallas_analytic_probes():
     db, assets, K, TCO = _setup()
     obj_ids = jnp.asarray([db.id_of("sphere"), db.id_of("sphere")], jnp.int32)
@@ -72,3 +87,34 @@ def test_pallas_analytic_probes():
     assert mask[ci, cj]
     np.testing.assert_allclose(depth[ci, cj], 0.45, atol=3e-3)
     assert not mask[0, 0] and depth[0, 0] == 0.0
+
+
+def test_vmem_budget_at_bench_shapes():
+    """The round-1 regression: dispatch chose tile-major at bench shapes
+    (B=16, 240x320, sphere n_lat=24 -> 24 chunks) but the real scoped-VMEM
+    footprint was 16.16 MB > 16 MB. Lock the budget model under the limit
+    for every face count the dispatch would route to tile-major."""
+    limit = rp._VMEM_LIMIT - rp._VMEM_HEADROOM
+    # bench config: sphere(24, 32) + box -> ~1.5k faces -> 24 chunks
+    bench_chunks = 24
+    assert rp._tilemajor_vmem_bytes(bench_chunks, rp.TILE_PX) <= limit
+    # the largest chunk count the heuristic still sends to tile-major must
+    # fit, and the next one must fall back to the dense sweep
+    nc = bench_chunks
+    while rp._tilemajor_vmem_bytes(nc + 1, rp.TILE_PX) <= limit:
+        nc += 1
+    assert rp._tilemajor_vmem_bytes(nc, rp.TILE_PX) <= limit
+    assert rp._tilemajor_vmem_bytes(nc + 1, rp.TILE_PX) > limit
+    # dense fallback stays within budget at bench resolution (240x320)
+    n_tiles = -(-240 // rp.TILE_H) * -(-320 // rp.TILE_W)
+    assert rp._dense_vmem_bytes(n_tiles, rp.TILE_PX) <= limit
+
+
+def test_dispatch_routes_large_mesh_to_dense():
+    """A mesh too large for the tile-major VMEM budget must route to the
+    dense sweep (and still render correctly)."""
+    budget = rp._VMEM_LIMIT - rp._VMEM_HEADROOM
+    nc_max = 1
+    while rp._tilemajor_vmem_bytes(nc_max + 1, rp.TILE_PX) <= budget:
+        nc_max += 1
+    assert nc_max * rp.CHUNK >= 1024, "tile-major should cover >=1k faces"
