@@ -232,7 +232,7 @@ class Bop19Evaluator:
         depth_test: Optional[np.ndarray] = None,  # [H, W], meters
         im_width: int = 640,
     ) -> None:
-        n_est, n_gt = len(TCO_pred), len(TCO_gt)
+        n_gt = len(TCO_gt)
         if n_gt == 0:
             return
         if gt_visib_fract is None:
@@ -241,6 +241,24 @@ class Bop19Evaluator:
 
         pred_obj_ids = np.asarray(pred_obj_ids, int)
         gt_obj_ids = np.asarray(gt_obj_ids, int)
+
+        # BOP19 n_top = -1: per object, only the top-|GT instances| scored
+        # estimates participate (bop_toolkit eval_calc_errors; without this
+        # extra estimates inflate recall for free)
+        if len(TCO_pred):
+            keep = np.zeros(len(TCO_pred), bool)
+            order = np.argsort(-np.asarray(pred_scores))
+            taken: Dict[int, int] = {}
+            for ei in order:
+                o = int(pred_obj_ids[ei])
+                budget = int((gt_obj_ids == o).sum())
+                if taken.get(o, 0) < budget:
+                    taken[o] = taken.get(o, 0) + 1
+                    keep[ei] = True
+            TCO_pred = np.asarray(TCO_pred)[keep]
+            pred_obj_ids = pred_obj_ids[keep]
+            pred_scores = np.asarray(pred_scores)[keep]
+        n_est = len(TCO_pred)
         diam = np.asarray(self.meshes.diameters)
 
         if n_est == 0:

@@ -464,9 +464,13 @@ def make_box_mesh(half_extents=(0.05, 0.05, 0.05)) -> Mesh:
     return Mesh(vertices=v, faces=f, vertex_colors=colors)
 
 
-def make_uv_sphere(radius=0.05, n_lat=16, n_lon=24, color=(0.2, 0.6, 0.3)) -> Mesh:
-    """UV sphere; test/debug asset."""
-    vs, fs = [], []
+def make_uv_sphere(
+    radius=0.05, n_lat=16, n_lon=24, color=(0.2, 0.6, 0.3), with_uv=False
+) -> Mesh:
+    """UV sphere; test/debug asset. `with_uv` adds spherical-coordinate
+    texture coordinates (u = longitude, v = 1 - latitude; one smeared seam
+    column — fine for synthetic training data)."""
+    vs, fs, uv = [], [], []
     for i in range(n_lat + 1):
         theta = np.pi * i / n_lat
         for j in range(n_lon):
@@ -476,6 +480,7 @@ def make_uv_sphere(radius=0.05, n_lat=16, n_lon=24, color=(0.2, 0.6, 0.3)) -> Me
                  radius * np.sin(theta) * np.sin(phi),
                  radius * np.cos(theta)]
             )
+            uv.append([j / n_lon, 1.0 - i / n_lat])
     for i in range(n_lat):
         for j in range(n_lon):
             a = i * n_lon + j
@@ -488,7 +493,48 @@ def make_uv_sphere(radius=0.05, n_lat=16, n_lon=24, color=(0.2, 0.6, 0.3)) -> Me
         vertices=v,
         faces=np.asarray(fs, np.int32),
         vertex_colors=np.tile(np.asarray([color], np.float32), (len(v), 1)),
+        vertex_uv=np.asarray(uv, np.float32) if with_uv else None,
     )
+
+
+def make_procedural_texture(size: int = 256, seed: int = 0) -> np.ndarray:
+    """Deterministic multi-octave value-noise texture [size, size, 3].
+
+    Gives synthetic meshes the high-frequency surface detail that
+    render-and-compare needs to observe rotation (TRAINING_NOTES r1: the
+    rotation plateau was a data-realism problem — uniform colors make
+    rotation unobservable). A coarse checker overlay adds hard edges."""
+    rs = np.random.RandomState(seed)
+    tex = np.zeros((size, size, 3), np.float32)
+    weight = 1.0
+    total = 0.0
+    for scale in (4, 8, 16, 32, 64):
+        g = rs.rand(scale, scale, 3).astype(np.float32)
+        yi = np.linspace(0, scale - 1, size)
+        xi = np.linspace(0, scale - 1, size)
+        y0 = np.floor(yi).astype(np.int64)
+        x0 = np.floor(xi).astype(np.int64)
+        y1 = np.minimum(y0 + 1, scale - 1)
+        x1 = np.minimum(x0 + 1, scale - 1)
+        fy = (yi - y0)[:, None, None]
+        fx = (xi - x0)[None, :, None]
+        up = (
+            g[y0][:, x0] * (1 - fy) * (1 - fx)
+            + g[y0][:, x1] * (1 - fy) * fx
+            + g[y1][:, x0] * fy * (1 - fx)
+            + g[y1][:, x1] * fy * fx
+        )
+        tex += weight * up
+        total += weight
+        weight *= 0.55
+    tex /= total
+    # contrast stretch + hard-edged checker overlay
+    tex = np.clip((tex - 0.5) * 1.8 + 0.5, 0.0, 1.0)
+    ii, jj = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    checker = (((ii // (size // 8)) + (jj // (size // 8))) % 2).astype(
+        np.float32
+    )[..., None]
+    return np.clip(0.8 * tex + 0.2 * checker, 0.0, 1.0).astype(np.float32)
 
 
 def position_colored(mesh: Mesh) -> Mesh:

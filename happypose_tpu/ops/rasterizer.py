@@ -28,7 +28,7 @@ Two-sided rasterization (no backface culling) — mesh winding is untrusted.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -154,16 +154,33 @@ def _zbuffer_scan(
 
 
 def shade_lambert(
-    rgb: jax.Array,  # [..., H, W, 3] albedo
-    normals: jax.Array,  # [..., H, W, 3] unit, camera-facing
+    rgb: jax.Array,  # [B, H, W, 3] albedo
+    normals: jax.Array,  # [B, H, W, 3] unit, camera-facing
     light_ambient: float,
     light_diffuse: float,
+    lights: "jax.Array | None" = None,  # [B, 5]: dir_xyz + ambient + diffuse
 ) -> jax.Array:
-    """Headlight Lambert: light from the camera, direction +z in camera
-    frame. Shared by the XLA and Pallas render paths (applied AFTER texture
-    resolution so textured albedo shades identically to vertex colors)."""
-    lambert = jnp.maximum(-normals[..., 2], 0.0)
-    shade = jnp.clip(light_ambient + light_diffuse * lambert, 0.0, 1.0)
+    """Lambert shading, shared by the XLA and Pallas render paths (applied
+    AFTER texture resolution so textured albedo shades identically to
+    vertex colors).
+
+    Default is the headlight model (light at the camera, direction
+    (0, 0, -1) toward the scene). `lights` supplies PER-IMAGE lighting —
+    unit direction from surface toward the light (camera frame) plus
+    ambient/diffuse strengths — the analog of the reference's per-scene
+    `light_datas` (panda3d_scene_renderer.py:294-318)."""
+    if lights is None:
+        lambert = jnp.maximum(-normals[..., 2], 0.0)
+        shade = jnp.clip(light_ambient + light_diffuse * lambert, 0.0, 1.0)
+        return jnp.clip(rgb * shade[..., None], 0.0, 1.0)
+    d = lights[:, 0:3]
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+    lambert = jnp.maximum(
+        jnp.einsum("bhwc,bc->bhw", normals, d), 0.0
+    )
+    amb = lights[:, 3][:, None, None]
+    dif = lights[:, 4][:, None, None]
+    shade = jnp.clip(amb + dif * lambert, 0.0, 1.0)
     return jnp.clip(rgb * shade[..., None], 0.0, 1.0)
 
 
@@ -225,10 +242,12 @@ def _shade(
     colors: jax.Array,
     normals_obj: jax.Array,
     TCO: jax.Array,
-    light_ambient: float,
-    light_diffuse: float,
 ) -> RenderOutput:
-    """Pass 2: per-pixel attribute interpolation + Lambert shading (1 image)."""
+    """Pass 2: per-pixel attribute interpolation (1 image).
+
+    Returns UNSHADED albedo in `.rgb` (color channels may carry UVs for
+    textured instances); texture resolution + Lambert shading happen at
+    the batch level (`resolve_albedo` / `shade_lambert`)."""
     H, W = face_id.shape
     hit = face_id >= 0
     fid = jnp.maximum(face_id, 0)  # [H, W]
@@ -277,14 +296,9 @@ def _shade(
     # two-sided: flip normals facing away from the camera (view dir ~ -z)
     n_px = jnp.where(n_px[..., 2:3] > 0, -n_px, n_px)
 
-    # headlight Lambert: light from the camera, direction +z in camera frame
-    lambert = jnp.maximum(-n_px[..., 2], 0.0)
-    shade = jnp.clip(light_ambient + light_diffuse * lambert, 0.0, 1.0)
-    rgb = jnp.clip(color * shade[..., None], 0.0, 1.0)
-
     hit_f = hit[..., None]
     return RenderOutput(
-        rgb=jnp.where(hit_f, rgb, 0.0),
+        rgb=jnp.where(hit_f, color, 0.0),
         depth=jnp.where(hit, z_px, 0.0),
         mask=hit,
         normals=jnp.where(hit_f, n_px, 0.0),
@@ -300,16 +314,11 @@ def _render_one(
     TCO: jax.Array,
     K: jax.Array,
     resolution: Tuple[int, int],
-    light_ambient: float,
-    light_diffuse: float,
     face_chunk: int,
 ) -> RenderOutput:
     fd, verts_cam = _face_screen_data(vertices, faces, faces_mask, TCO, K)
     face_id, _ = _zbuffer_scan(fd, resolution, chunk=face_chunk)
-    return _shade(
-        face_id, fd, faces, verts_cam, colors, normals, TCO,
-        light_ambient, light_diffuse,
-    )
+    return _shade(face_id, fd, faces, verts_cam, colors, normals, TCO)
 
 
 @partial(
@@ -325,6 +334,7 @@ def render_batch(
     light_ambient: float = 0.6,
     light_diffuse: float = 0.6,
     face_chunk: int = 32,
+    lights: Optional[jax.Array] = None,
 ) -> RenderOutput:
     """Render B object instances, one per output image.
 
@@ -334,14 +344,31 @@ def render_batch(
       TCO: [B, 4, 4] camera-from-object poses.
       K: [B, 3, 3] intrinsics of each (crop) camera.
       resolution: (H, W), static.
+      lights: optional [B, 5] per-image lighting (see `shade_lambert`);
+        overrides the static headlight scalars.
     Returns:
       RenderOutput with [B, ...] arrays.
     """
     inst = assets.select(obj_ids)
-    return jax.vmap(
+    # textured instances carry (u, v, 0) in their color channels and are
+    # resolved against the texture atlas after rasterization
+    uv0 = jnp.concatenate(
+        [inst.vertex_uv, jnp.zeros_like(inst.vertex_uv[..., :1])], axis=-1
+    )
+    attr_c = jnp.where(
+        inst.has_texture[:, None, None], uv0, inst.vertex_colors
+    )
+    out = jax.vmap(
         lambda v, f, fm, c, n, T, Kb: _render_one(
-            v, f, fm, c, n, T, Kb, resolution, light_ambient, light_diffuse,
-            face_chunk,
+            v, f, fm, c, n, T, Kb, resolution, face_chunk
         )
-    )(inst.vertices, inst.faces, inst.faces_mask, inst.vertex_colors,
+    )(inst.vertices, inst.faces, inst.faces_mask, attr_c,
       inst.vertex_normals, TCO, K)
+    albedo = resolve_albedo(out.rgb, assets.textures, obj_ids, inst.has_texture)
+    rgb = shade_lambert(
+        albedo, out.normals, light_ambient, light_diffuse, lights
+    )
+    rgb = jnp.where(out.mask[..., None], rgb, 0.0)
+    return RenderOutput(
+        rgb=rgb, depth=out.depth, mask=out.mask, normals=out.normals
+    )

@@ -50,6 +50,8 @@ from happypose_tpu.ops.rasterizer import (
     RenderOutput,
     _FaceData,
     _face_screen_data,
+    resolve_albedo,
+    shade_lambert,
 )
 
 CHUNK = 64  # faces per chunk
@@ -528,22 +530,33 @@ def render_batch_pallas(
     light_diffuse: float = 0.6,
     interpret: bool = False,
     force_path: Optional[str] = None,
+    lights: Optional[jax.Array] = None,
 ) -> RenderOutput:
-    """Drop-in replacement for `rasterizer.render_batch` (TPU kernel)."""
+    """Drop-in replacement for `rasterizer.render_batch` (TPU kernel).
+    `lights`: optional [B, 5] per-image lighting (see `shade_lambert`)."""
     inst = assets.select(obj_ids)
 
     fd_all, _ = jax.vmap(_face_screen_data)(
         inst.vertices, inst.faces, inst.faces_mask, TCO, K
     )
 
-    # per-face per-vertex attributes: rgb + camera-frame normals
+    # per-face per-vertex attributes: color channels + camera-frame normals.
+    # Textured instances carry (u, v, 0) in the color channels (resolved to
+    # texture RGB after the kernel) — the kernel is texture-agnostic.
+    uv0 = jnp.concatenate(
+        [inst.vertex_uv, jnp.zeros_like(inst.vertex_uv[..., :1])], axis=-1
+    )
+    attr_c = jnp.where(
+        inst.has_texture[:, None, None], uv0, inst.vertex_colors
+    )
+
     def face_attrs(faces, colors, normals, T):
         n_cam = normals @ T[:3, :3].T
         av = jnp.concatenate([colors, n_cam], axis=-1)  # [V, 6]
         return av[faces]  # [F, 3, 6]
 
     attrs = jax.vmap(face_attrs)(
-        inst.faces, inst.vertex_colors, inst.vertex_normals, TCO
+        inst.faces, attr_c, inst.vertex_normals, TCO
     )
 
     iz, attr = raster_fused_pallas(
@@ -557,9 +570,8 @@ def render_batch_pallas(
     n = jnp.moveaxis(attr[:, 3:6], 1, -1)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
     n = jnp.where(n[..., 2:3] > 0, -n, n)
-    lambert = jnp.maximum(-n[..., 2], 0.0)
-    shade = jnp.clip(light_ambient + light_diffuse * lambert, 0.0, 1.0)
-    rgb = jnp.clip(rgb * shade[..., None], 0.0, 1.0)
+    albedo = resolve_albedo(rgb, assets.textures, obj_ids, inst.has_texture)
+    rgb = shade_lambert(albedo, n, light_ambient, light_diffuse, lights)
     hit_f = hit[..., None]
     return RenderOutput(
         rgb=jnp.where(hit_f, rgb, 0.0),

@@ -37,12 +37,16 @@ def render_scenes(
     renderer: str = "reference",
     light_ambient: float = 0.6,
     light_diffuse: float = 0.6,
+    lights: jax.Array = None,
 ) -> RenderOutput:
-    """Composite per-instance renders into [n_scenes, ...] frames."""
+    """Composite per-instance renders into [n_scenes, ...] frames.
+    `lights`: optional [N, 5] per-INSTANCE lighting rows (pass each
+    scene's lighting repeated over its instances; see `shade_lambert`)."""
     render = render_batch_pallas if renderer == "pallas" else render_batch
     out = render(
         assets, obj_ids, TCO, K, resolution=resolution,
         light_ambient=light_ambient, light_diffuse=light_diffuse,
+        lights=lights,
     )
     H, W = resolution
     inf = jnp.float32(jnp.inf)

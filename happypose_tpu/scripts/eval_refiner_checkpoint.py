@@ -39,21 +39,20 @@ def main(argv=None) -> int:
     from happypose_tpu.lib3d.rotations import geodesic_distance, log_SE3_norm
     from happypose_tpu.lib3d.distances import compute_ADD_L1_loss
     from happypose_tpu.lib3d.transforms import add_pose_noise
-    from happypose_tpu.meshes.database import MeshDataBase
-    from happypose_tpu.meshes.io import (
-        make_box_mesh, make_uv_sphere, position_colored,
-    )
     from happypose_tpu.models import PosePredictor, PosePredictorConfig
-    from happypose_tpu.training.synth_data import make_synth_batch
+    from happypose_tpu.training.synth_data import (
+        make_synth_batch, make_synth_mesh_db,
+    )
 
     cfg_saved = json.loads((args.run_dir / "config.json").read_text())
     on_tpu = jax.default_backend() not in ("cpu",)
     renderer = "pallas" if on_tpu else "reference"
 
-    db = MeshDataBase(meshes={
-        "sphere": position_colored(make_uv_sphere(0.04, 16, 24)),
-        "box": position_colored(make_box_mesh((0.035, 0.025, 0.045))),
-    })
+    # rebuild the exact mesh registry the checkpoint was trained on
+    db = make_synth_mesh_db(
+        cfg_saved.get("synth_set", "debug"),
+        cfg_saved.get("mesh_files") or None,
+    )
     assets = db.render_assets()
     bm = db.batched(n_points=256)
     H, W = args.image_size
@@ -67,7 +66,7 @@ def main(argv=None) -> int:
     )
     model = PosePredictor(cfg)
     batch0 = make_synth_batch(
-        jax.random.PRNGKey(0), assets, K1, n_objects=2,
+        jax.random.PRNGKey(0), assets, K1, n_objects=len(db.labels),
         batch_size=args.batch_size, resolution=(H, W), renderer=renderer,
     )
     inst0 = bm.select(batch0.obj_ids)
@@ -107,7 +106,7 @@ def main(argv=None) -> int:
     for b in range(args.n_batches):
         rngs = jax.random.split(jax.random.PRNGKey(args.seed + b), 2)
         batch = make_synth_batch(
-            rngs[0], assets, K1, n_objects=2, batch_size=args.batch_size,
+            rngs[0], assets, K1, n_objects=len(db.labels), batch_size=args.batch_size,
             resolution=(H, W), renderer=renderer,
         )
         TCO_init, TCO_ref = refine(batch, rngs[1])

@@ -39,6 +39,14 @@ def main(argv=None) -> int:
     p.add_argument("--data", default="synth")
     p.add_argument("--models-dir", type=Path, default=None,
                    help="BOP models dir (required for --data <bop_dir>)")
+    p.add_argument("--synth-set", default="debug",
+                   choices=["debug", "textured"],
+                   help="synthetic mesh registry (textured = procedural "
+                        "textures, the rotation-learning data fix)")
+    p.add_argument("--mesh-files", type=Path, nargs="*", default=None,
+                   help="extra mesh files added to the synth registry "
+                        "(e.g. a BOP PLY; auto mm->m, procedural texture "
+                        "when UVs exist)")
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--epoch-size", type=int, default=64)
     p.add_argument("--batch-size", type=int, default=8)
@@ -78,16 +86,11 @@ def main(argv=None) -> int:
 
     # ---- data ----
     if args.data == "synth":
-        from happypose_tpu.meshes.database import MeshDataBase
-        from happypose_tpu.meshes.io import (
-            make_box_mesh, make_uv_sphere, position_colored,
+        from happypose_tpu.training.synth_data import (
+            make_synth_batch, make_synth_mesh_db,
         )
-        from happypose_tpu.training.synth_data import make_synth_batch
 
-        db = MeshDataBase(meshes={
-            "sphere": position_colored(make_uv_sphere(0.04, 16, 24)),
-            "box": position_colored(make_box_mesh((0.035, 0.025, 0.045))),
-        })
+        db = make_synth_mesh_db(args.synth_set, args.mesh_files)
         mesh_db = db
         K1 = jnp.asarray(
             [[300.0, 0, args.image_size[1] / 2],

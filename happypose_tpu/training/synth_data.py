@@ -23,6 +23,62 @@ from happypose_tpu.ops.rasterizer_pallas import render_batch_pallas
 from happypose_tpu.training.forward_loss import PoseTrainingBatch
 
 
+def make_synth_mesh_db(
+    synth_set: str = "debug",
+    mesh_files=None,
+    texture_size: int = 256,
+):
+    """Shared synthetic-training mesh registry (training + checkpoint eval
+    must agree on object ids, so both build through here).
+
+    synth_set:
+      "debug"    — position-colored sphere + box (round-1 toy set).
+      "textured" — procedurally TEXTURED sphere + position-colored box;
+                   the surface detail render-and-compare needs to learn
+                   rotation (TRAINING_NOTES r1 plateau).
+    mesh_files: optional extra mesh paths (e.g. a BOP PLY). Meshes with
+      UVs but no texture image get a deterministic procedural texture;
+      mm-scale meshes (diameter > 1) are auto-scaled to meters.
+    """
+    import dataclasses as _dc
+
+    from happypose_tpu.meshes.database import MeshDataBase
+    from happypose_tpu.meshes.io import (
+        load_mesh,
+        make_box_mesh,
+        make_procedural_texture,
+        make_uv_sphere,
+        position_colored,
+    )
+
+    meshes = {}
+    scales = {}
+    if synth_set == "debug":
+        meshes["sphere"] = position_colored(make_uv_sphere(0.04, 16, 24))
+        meshes["box"] = position_colored(make_box_mesh((0.035, 0.025, 0.045)))
+    elif synth_set == "textured":
+        sphere = make_uv_sphere(0.04, 16, 24, with_uv=True)
+        sphere.texture = make_procedural_texture(texture_size, seed=1)
+        meshes["sphere"] = sphere
+        meshes["box"] = position_colored(
+            make_box_mesh((0.035, 0.025, 0.045))
+        )
+    else:
+        raise ValueError(f"unknown synth set: {synth_set}")
+
+    for k, path in enumerate(mesh_files or []):
+        m = load_mesh(path)
+        label = f"mesh{k}"
+        if m.diameter > 1.0:  # mm-scale BOP model
+            scales[label] = 1e-3
+        if m.vertex_uv is not None and m.texture is None:
+            m = _dc.replace(m, texture=make_procedural_texture(
+                texture_size, seed=100 + k
+            ))
+        meshes[label] = m
+    return MeshDataBase(meshes=meshes, scales=scales)
+
+
 def random_rotations(key: jax.Array, n: int) -> jax.Array:
     """Uniform random rotations via normalized 4D gaussians -> quats."""
     q = jax.random.normal(key, (n, 4))
@@ -43,11 +99,17 @@ def make_synth_batch(
     z_range: Tuple[float, float] = (0.35, 0.8),
     xy_extent: float = 0.08,
     renderer: str = "reference",
+    force_obj_ids: jax.Array = None,
 ) -> PoseTrainingBatch:
-    """Random single-object scenes. Returns a PoseTrainingBatch."""
+    """Random single-object scenes. Returns a PoseTrainingBatch.
+    `force_obj_ids` pins the object of each scene (poses stay random)."""
     k_obj, k_rot, k_xy, k_z, k_bg, k_noise = jax.random.split(rng, 6)
     B = batch_size
-    obj_ids = jax.random.randint(k_obj, (B,), 0, n_objects)
+    obj_ids = (
+        force_obj_ids
+        if force_obj_ids is not None
+        else jax.random.randint(k_obj, (B,), 0, n_objects)
+    )
     R = random_rotations(k_rot, B)
     xy = jax.random.uniform(k_xy, (B, 2), minval=-xy_extent, maxval=xy_extent)
     z = jax.random.uniform(k_z, (B, 1), minval=z_range[0], maxval=z_range[1])

@@ -271,9 +271,12 @@ class TestEvaluatorProtocol:
         assert abs(s["AR_MSSD"] - 0.5) < 1e-9
         assert abs(s["AR_MSPD"] - 0.5) < 1e-9
 
-    def test_score_order_matching(self):
-        # two estimates for one gt: the higher-scored accurate one matches;
-        # a higher-scored WRONG estimate cannot steal the gt (error > th)
+    def test_score_order_matching_with_ntop_truncation(self):
+        # BOP19 n_top = -1 (bop_toolkit eval_calc_errors): per object only
+        # the top-|GT| scored estimates participate. One GT instance ->
+        # only the higher-scored estimate survives; if that one is wrong,
+        # the image scores 0 even though a correct lower-scored estimate
+        # existed. (Cross-validated in tests/test_bop19_crossval.py.)
         db, ev = self._eval()
         oid = db.id_of("box")
         Tg = _pose([0, 0, 0.4])
@@ -286,7 +289,18 @@ class TestEvaluatorProtocol:
             K=K, im_width=RES[1],
         )
         s = ev.summary()
-        assert s["AR_MSSD"] == 1.0
+        assert s["AR_MSSD"] == 0.0
+
+        # good estimate scored higher -> survives truncation and matches
+        db2, ev2 = self._eval()
+        ev2.add_image(
+            TCO_pred=np.stack([Tbad, Tg]),
+            pred_obj_ids=np.asarray([oid, oid]),
+            pred_scores=np.asarray([0.5, 0.99]),
+            TCO_gt=Tg[None], gt_obj_ids=np.asarray([oid]),
+            K=K, im_width=RES[1],
+        )
+        assert ev2.summary()["AR_MSSD"] == 1.0
 
     def test_settings_constants(self):
         assert len(VSD_TAUS) == 10

@@ -66,6 +66,7 @@ def test_forward_shapes(detector):
     assert post["masks"].shape[:2] == (2, 8)
 
 
+@pytest.mark.slow
 def test_training_reduces_loss(detector):
     cfg, model, variables = detector
     import optax

@@ -431,6 +431,7 @@ class TestDetectorMode:
             np.asarray(det.boxes)[0], box_orig, atol=1e-4
         )
 
+    @pytest.mark.slow
     def test_real_detector_roundtrip(self, bop_fixture, tmp_path):
         """load_detector restores a checkpoint written by the training
         script's save path and runs end-to-end on a frame."""

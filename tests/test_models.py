@@ -1,6 +1,7 @@
 """Model tests: backbone shapes, pose predictor iteration semantics."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -159,6 +160,7 @@ class TestPosePredictor:
         )
 
 
+@pytest.mark.slow
 def test_efficientnet_backbone():
     from happypose_tpu.models import EfficientNetB0
 

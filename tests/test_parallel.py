@@ -2,6 +2,7 @@
 scoring must equal the unsharded computation; utils round-trip."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
@@ -103,6 +104,7 @@ def test_colmap_round_trip(tmp_path):
     np.testing.assert_allclose(i2[2].TCW()[:3, :3], np.eye(3), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_hypothesis_scoring_matches_serial():
     """MegaPose coarse scoring sharded over the 8-device mesh must match the
     serial chunked path."""

@@ -163,6 +163,7 @@ def test_megapose_multiple_detections(scene):
     assert set(winners.tolist()) == {db.id_of("box"), db.id_of("sphere")}
 
 
+@pytest.mark.slow
 def test_load_named_model_registry(scene, monkeypatch):
     """NAMED_MODELS -> working estimator end-to-end (tiny grid)."""
     import dataclasses

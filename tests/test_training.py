@@ -81,6 +81,7 @@ def test_disentangled_loss_zero_at_gt():
     np.testing.assert_allclose(np.asarray(loss), 0.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_refiner_training_reduces_loss(world):
     db, assets, bm, K1 = world
     cfg = PosePredictorConfig(
@@ -116,6 +117,7 @@ def test_refiner_training_reduces_loss(world):
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
 
 
+@pytest.mark.slow
 def test_coarse_training_step(world):
     db, assets, bm, K1 = world
     cfg = PosePredictorConfig(
@@ -141,6 +143,7 @@ def test_coarse_training_step(world):
     assert "coarse_acc" in metrics
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step_8_devices(world):
     """Full dp train step over the virtual 8-device CPU mesh: shard batch,
     pmean grads, sync-BN through axis_name."""
