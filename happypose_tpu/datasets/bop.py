@@ -50,7 +50,9 @@ class SceneObservation:
     depth: Optional[np.ndarray] = None  # [H, W] float32 meters
     TWC: Optional[np.ndarray] = None  # [4, 4] world-from-camera
     obj_labels: Optional[List[str]] = None
-    TWO: Optional[np.ndarray] = None  # [n_obj, 4, 4] (camera frame if TWC=I)
+    TWO: Optional[np.ndarray] = None  # [n_obj, 4, 4] object poses in the
+    #   CAMERA frame (BOP cam_R_m2c); world alignment lives in TWC. The
+    #   name mirrors the reference's ObjectData.TWO field.
     TWO_init: Optional[np.ndarray] = None  # [n_obj, 4, 4] provided initial
     #   estimates (DeepIM-ModelNet refiner-only eval; reference ObjectData
     #   .TWO_init, toolbox/datasets/scene_dataset.py:72)

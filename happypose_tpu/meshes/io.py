@@ -537,6 +537,60 @@ def make_procedural_texture(size: int = 256, seed: int = 0) -> np.ndarray:
     return np.clip(0.8 * tex + 0.2 * checker, 0.0, 1.0).astype(np.float32)
 
 
+def decimate_mesh(mesh: Mesh, target_faces: int) -> Mesh:
+    """Vertex-clustering decimation to <= target_faces (approximately).
+
+    Vertices snap to a uniform voxel grid and merge per cell (cluster
+    representative = the cell's first vertex, so colors/UVs/normals carry
+    over); degenerate faces drop out. The grid resolution is bisected
+    until the face budget holds. The reference renders full-resolution
+    meshes through OpenGL where face count is nearly free; on the TPU
+    rasterizer face count is the VMEM/compute axis, so keeping training
+    meshes under the tile-major kernel's resident-face budget
+    (rasterizer_pallas._tilemajor_vmem_bytes) is a real speed lever.
+    """
+    if len(mesh.faces) <= target_faces:
+        return mesh
+    v = mesh.vertices
+    lo, hi = v.min(0), v.max(0)
+    extent = float(np.max(hi - lo))
+    n_cells_hi = 256
+
+    def cluster(n_cells: int):
+        cell = extent / n_cells
+        keys = np.floor((v - lo) / max(cell, 1e-12)).astype(np.int64)
+        key1d = (keys[:, 0] * (n_cells + 2) + keys[:, 1]) * (n_cells + 2) + keys[:, 2]
+        uniq, remap = np.unique(key1d, return_inverse=True)
+        # representative vertex per cluster: first occurrence
+        first = np.full(len(uniq), -1, np.int64)
+        seen_order = np.argsort(remap, kind="stable")
+        first_idx = np.searchsorted(remap[seen_order], np.arange(len(uniq)))
+        first = seen_order[first_idx]
+        f = remap[mesh.faces]
+        keep = (
+            (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+        )
+        return first, f[keep]
+
+    n_cells = n_cells_hi
+    first, faces = cluster(n_cells)
+    while len(faces) > target_faces and n_cells > 4:
+        n_cells //= 2
+        first, faces = cluster(n_cells)
+
+    def take(a):
+        return None if a is None else a[first]
+
+    return Mesh(
+        vertices=v[first],
+        faces=faces.astype(np.int32),
+        vertex_colors=take(mesh.vertex_colors),
+        vertex_normals_=take(mesh.vertex_normals_),
+        vertex_uv=take(mesh.vertex_uv),
+        texture=mesh.texture,
+    )
+
+
 def position_colored(mesh: Mesh) -> Mesh:
     """Color vertices by normalized position (r,g,b <- x,y,z).
 

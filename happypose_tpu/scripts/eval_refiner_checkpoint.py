@@ -52,6 +52,7 @@ def main(argv=None) -> int:
     db = make_synth_mesh_db(
         cfg_saved.get("synth_set", "debug"),
         cfg_saved.get("mesh_files") or None,
+        max_faces=int(cfg_saved.get("max_faces") or 0),
     )
     assets = db.render_assets()
     bm = db.batched(n_points=256)

@@ -45,6 +45,10 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--write-models", action="store_true",
                    help="also write <out-dir>/models in BOP layout")
+    p.add_argument("--wds", action="store_true",
+                   help="also write <out-dir>/wds tar shards (the training "
+                        "pipeline's streaming format, ref WebSceneDataset)")
+    p.add_argument("--shard-size", type=int, default=64)
     args = p.parse_args(argv)
 
     import jax
@@ -162,6 +166,15 @@ def main(argv=None) -> int:
         obs.view_id = len(frames)
         frames.append(obs)
     write_bop_scene(args.out_dir, 0, frames)
+    if args.wds:
+        from happypose_tpu.datasets.web_scene_dataset import (
+            write_scene_ds_as_wds,
+        )
+
+        shards = write_scene_ds_as_wds(
+            frames, args.out_dir / "wds", shard_size=args.shard_size
+        )
+        logger.info(f"wrote {len(shards)} wds shards")
     if args.write_models:
         from happypose_tpu.datasets.bop import write_bop_models
 

@@ -53,6 +53,7 @@ def main(argv=None) -> int:
     p.add_argument("--coarse-dir", type=Path, default=None)
     p.add_argument("--synth-set", default="textured")
     p.add_argument("--mesh-files", type=Path, nargs="*", default=None)
+    p.add_argument("--max-faces", type=int, default=0)
     p.add_argument("--n-scenes", type=int, default=64)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--image-size", type=int, nargs=2, default=(120, 160))
@@ -86,7 +87,9 @@ def main(argv=None) -> int:
     on_tpu = jax.default_backend() not in ("cpu",)
     renderer = "pallas" if on_tpu else "reference"
 
-    db = make_synth_mesh_db(args.synth_set, args.mesh_files)
+    db = make_synth_mesh_db(
+        args.synth_set, args.mesh_files, max_faces=args.max_faces
+    )
     assets = db.render_assets()
     bm = db.batched(n_points=256)
     H, W = args.image_size

@@ -47,6 +47,9 @@ def main(argv=None) -> int:
                    help="extra mesh files added to the synth registry "
                         "(e.g. a BOP PLY; auto mm->m, procedural texture "
                         "when UVs exist)")
+    p.add_argument("--max-faces", type=int, default=0,
+                   help="decimate synth meshes above this face count "
+                        "(keeps renders on the fast tile-major kernel)")
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--epoch-size", type=int, default=64)
     p.add_argument("--batch-size", type=int, default=8)
@@ -90,7 +93,9 @@ def main(argv=None) -> int:
             make_synth_batch, make_synth_mesh_db,
         )
 
-        db = make_synth_mesh_db(args.synth_set, args.mesh_files)
+        db = make_synth_mesh_db(
+            args.synth_set, args.mesh_files, max_faces=args.max_faces
+        )
         mesh_db = db
         K1 = jnp.asarray(
             [[300.0, 0, args.image_size[1] / 2],

@@ -27,6 +27,7 @@ def make_synth_mesh_db(
     synth_set: str = "debug",
     mesh_files=None,
     texture_size: int = 256,
+    max_faces: int = 0,
 ):
     """Shared synthetic-training mesh registry (training + checkpoint eval
     must agree on object ids, so both build through here).
@@ -39,11 +40,15 @@ def make_synth_mesh_db(
     mesh_files: optional extra mesh paths (e.g. a BOP PLY). Meshes with
       UVs but no texture image get a deterministic procedural texture;
       mm-scale meshes (diameter > 1) are auto-scaled to meters.
+    max_faces: decimate loaded meshes above this face count (0 = keep
+      full resolution); meshes under the tile-major kernel's resident
+      budget train markedly faster.
     """
     import dataclasses as _dc
 
     from happypose_tpu.meshes.database import MeshDataBase
     from happypose_tpu.meshes.io import (
+        decimate_mesh,
         load_mesh,
         make_box_mesh,
         make_procedural_texture,
@@ -71,6 +76,8 @@ def make_synth_mesh_db(
         label = f"mesh{k}"
         if m.diameter > 1.0:  # mm-scale BOP model
             scales[label] = 1e-3
+        if max_faces and len(m.faces) > max_faces:
+            m = decimate_mesh(m, max_faces)
         if m.vertex_uv is not None and m.texture is None:
             m = _dc.replace(m, texture=make_procedural_texture(
                 texture_size, seed=100 + k
