@@ -74,7 +74,13 @@ class BOPObjectDataset:
         models_dir: Union[str, Path],
         label_format: str = "obj_{:06d}",
         n_symmetries_continuous: int = 8,
+        max_faces: int = 0,
     ):
+        """max_faces > 0 decimates high-resolution models at load time
+        (vertex clustering; UVs/textures preserved) — full-resolution BOP
+        models run 50-500k faces, far past the padded-tensor budget the
+        on-chip rasterizer wants. The reference sidesteps this with
+        `_eval`/`_panda3d` downsampled model variants (datasets_cfg.py)."""
         models_dir = Path(models_dir)
         info_path = models_dir / "models_info.json"
         infos = json.loads(info_path.read_text()) if info_path.exists() else {}
@@ -85,7 +91,12 @@ class BOPObjectDataset:
         for ply in sorted(models_dir.glob("obj_*.ply")):
             obj_id = int(ply.stem.split("_")[1])
             label = label_format.format(obj_id)
-            meshes[label] = load_mesh(ply).scaled(0.001)  # mm -> m
+            mesh = load_mesh(ply).scaled(0.001)  # mm -> m
+            if max_faces and len(mesh.faces) > max_faces:
+                from happypose_tpu.meshes.io import decimate_mesh
+
+                mesh = decimate_mesh(mesh, max_faces)
+            meshes[label] = mesh
             info = infos.get(str(obj_id), {})
             disc = [
                 DiscreteSymmetry(pose=np.asarray(m, np.float64).reshape(4, 4))

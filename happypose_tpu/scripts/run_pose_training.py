@@ -40,7 +40,7 @@ def main(argv=None) -> int:
     p.add_argument("--models-dir", type=Path, default=None,
                    help="BOP models dir (required for --data <bop_dir>)")
     p.add_argument("--synth-set", default="debug",
-                   choices=["debug", "textured"],
+                   choices=["debug", "textured", "mesh_only"],
                    help="synthetic mesh registry (textured = procedural "
                         "textures, the rotation-learning data fix)")
     p.add_argument("--mesh-files", type=Path, nargs="*", default=None,

@@ -68,6 +68,11 @@ def make_synth_mesh_db(
         meshes["box"] = position_colored(
             make_box_mesh((0.035, 0.025, 0.045))
         )
+    elif synth_set == "mesh_only":
+        # only the --mesh-files objects (per-object models, the CosyPose
+        # per-dataset training setting at its smallest)
+        if not mesh_files:
+            raise ValueError("synth_set=mesh_only needs --mesh-files")
     else:
         raise ValueError(f"unknown synth set: {synth_set}")
 
