@@ -242,16 +242,17 @@ class Bop19Evaluator:
         pred_obj_ids = np.asarray(pred_obj_ids, int)
         gt_obj_ids = np.asarray(gt_obj_ids, int)
 
-        # BOP19 n_top = -1: per object, only the top-|GT instances| scored
-        # estimates participate (bop_toolkit eval_calc_errors; without this
-        # extra estimates inflate recall for free)
+        # BOP19 n_top = -1: per object, only the top-n scored estimates
+        # participate, where n counts the object's GT instances visible
+        # >= 10% (bop_toolkit builds targets' inst_count from visib_fract
+        # >= visib_gt_min; without this extra estimates inflate recall)
         if len(TCO_pred):
             keep = np.zeros(len(TCO_pred), bool)
             order = np.argsort(-np.asarray(pred_scores))
             taken: Dict[int, int] = {}
             for ei in order:
                 o = int(pred_obj_ids[ei])
-                budget = int((gt_obj_ids == o).sum())
+                budget = int(((gt_obj_ids == o) & gt_valid).sum())
                 if taken.get(o, 0) < budget:
                     taken[o] = taken.get(o, 0) + 1
                     keep[ei] = True

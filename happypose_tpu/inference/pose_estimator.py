@@ -118,9 +118,10 @@ class PoseEstimator:
         Parity: pose_estimator.py:327-485.
         """
         assert self._coarse_is_classifier
-        cfg = self.cfg
         D = detections.n_rows
-        M = cfg.SO3_grid_size
+        # size from the loaded grid, not the config: the shipped "512"
+        # .qua file actually holds 576 rotations (see lib3d/so3_grid.py)
+        M = int(self.SO3_grid.shape[0])
         N = D * M
 
         det_idx = jnp.repeat(jnp.arange(D, dtype=jnp.int32), M)  # [N]

@@ -290,7 +290,9 @@ class MeshDataBase:
                 C[i, :nv] = mesh.vertex_colors
             N[i, :nv] = mesh.vertex_normals
             if mesh.texture is not None and mesh.vertex_uv is not None:
-                UV[i, :nv] = np.clip(mesh.vertex_uv, 0.0, 1.0)
+                # keep raw UVs: tiled (out-of-[0,1]) coordinates wrap at
+                # sample time (GL_REPEAT), not clamp
+                UV[i, :nv] = mesh.vertex_uv
                 TEX[i] = _resize_texture(mesh.texture, T)
                 HT[i] = True
                 # baked colors double as the fallback for vertex-color-only

@@ -81,8 +81,12 @@ class Mesh:
         """Bilinear texture lookup at [N, 2] uv coords -> [N, 3] RGB."""
         assert self.texture is not None
         th, tw = self.texture.shape[:2]
-        u = np.clip(uv[:, 0], 0.0, 1.0) * (tw - 1)
-        v = (1.0 - np.clip(uv[:, 1], 0.0, 1.0)) * (th - 1)  # v-flip
+
+        def wrap(x):  # GL_REPEAT semantics; exact 1.0 stays
+            return np.where(x == 1.0, 1.0, x - np.floor(x))
+
+        u = wrap(uv[:, 0]) * (tw - 1)
+        v = (1.0 - wrap(uv[:, 1])) * (th - 1)  # v-flip
         x0 = np.floor(u).astype(np.int64)
         y0 = np.floor(v).astype(np.int64)
         x1 = np.minimum(x0 + 1, tw - 1)
@@ -206,7 +210,11 @@ def load_ply(path: Union[str, Path]) -> Mesh:
     )
     has_normals = all(n in vertex_names for n in ("nx", "ny", "nz"))
 
-    if uv_names is None and not has_normals:
+    # Native fast path whenever no texture coordinates are present —
+    # shipped normals are cheap to recompute (Mesh.vertex_normals), so
+    # nx/ny/nz alone must not force the slow Python parse (BOP models all
+    # carry normals).
+    if uv_names is None:
         try:
             from happypose_tpu.csrc import load_ply_native
 

@@ -197,8 +197,13 @@ def sample_textures_at(
     """
     n_obj, T = textures.shape[0], textures.shape[1]
     flat = textures.reshape(n_obj * T * T, 3)
-    u = jnp.clip(uv[..., 0], 0.0, 1.0) * (T - 1)
-    v = (1.0 - jnp.clip(uv[..., 1], 0.0, 1.0)) * (T - 1)
+
+    def wrap(x):
+        # GL_REPEAT (the panda3d default for tiled UVs); exact 1.0 stays
+        return jnp.where(x == 1.0, 1.0, x - jnp.floor(x))
+
+    u = wrap(uv[..., 0]) * (T - 1)
+    v = (1.0 - wrap(uv[..., 1])) * (T - 1)
     x0f = jnp.floor(u)
     y0f = jnp.floor(v)
     fx = (u - x0f)[..., None]

@@ -102,6 +102,18 @@ def _dense_vmem_bytes(n_tiles: int, tile_px: int) -> int:
     return in_buf + out_buf + r_tmp + vpu_tmp
 
 
+def _dense_band_th(n_th: int, n_tw: int) -> int:
+    """Tile-rows per dense-sweep band so the per-band output block (the
+    only term that scales with image size — it stays VMEM-resident across
+    the whole chunk sweep) fits the scoped budget. Large images render as
+    several row bands, each its own pallas_call."""
+    limit = _VMEM_LIMIT - _VMEM_HEADROOM
+    band_th = n_th
+    while band_th > 1 and _dense_vmem_bytes(band_th * n_tw, TILE_PX) > limit:
+        band_th -= 1
+    return band_th
+
+
 def _face_affine_rows(fd, face_attr_iz, resolution):
     """Per-face packed rows: affine coefficients + constant rows.
 
@@ -242,11 +254,12 @@ def _pixel_basis(tile_h: int, tile_w: int):
     return Mt, pu[0:1, :], pv[0:1, :]
 
 
-def _make_kernel_dense(n_tw: int):
+def _make_kernel_dense(n_tw: int, v_offset: int = 0):
     # grid order (B, chunks, tiles): tiles iterate fastest so the chunk's
     # At block stays resident in VMEM across all tiles (block index
     # unchanged -> no HBM re-copy); only the culling scalar test runs for
-    # non-overlapping tiles.
+    # non-overlapping tiles. `v_offset` is the band's global pixel-row
+    # origin (large images run as several row bands, _dense_band_th).
     def kernel(bbox_ref, At_ref, buf_out):
         t = pl.program_id(2)
         c = pl.program_id(1)
@@ -259,7 +272,7 @@ def _make_kernel_dense(n_tw: int):
         ti = t // n_tw
         tj = t - ti * n_tw
         tu0 = (tj * TILE_W).astype(jnp.float32)
-        tv0 = (ti * TILE_H).astype(jnp.float32)
+        tv0 = (ti * TILE_H + v_offset).astype(jnp.float32)
         # bbox is stored flat [B, n_chunks*4]: SMEM pads the trailing dim
         # to 128, so a [..., 4] layout would waste 32x and overflow SMEM
         # for large face counts
@@ -417,33 +430,44 @@ def raster_fused_pallas(
     n_tiles = n_th * n_tw
 
     def run_dense():
-        """Lossless chunk×tile sweep (in-kernel bbox culling)."""
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(B, n_chunks, n_tiles),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 1, 3, N_ROWS * CHUNK),
-                    lambda b, c, t, *refs: (b, c, 0, 0),
+        """Lossless chunk×tile sweep (in-kernel bbox culling), split into
+        row bands so the resident output block fits scoped VMEM at any
+        resolution (round-1 failure class; see _dense_band_th)."""
+        band_th = _dense_band_th(n_th, n_tw)
+        band_tiles = band_th * n_tw
+        n_bands = _cdiv(n_th, band_th)
+        bbox_flat = chunk_bbox.reshape(B, n_chunks * 4)
+        bands = []
+        for bi in range(n_bands):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, n_chunks, band_tiles),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, 1, 3, N_ROWS * CHUNK),
+                        lambda b, c, t, *refs: (b, c, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, band_tiles, N_OUT_ROWS, TILE_PX),
+                    lambda b, c, t, *refs: (b, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, n_tiles, N_OUT_ROWS, TILE_PX),
-                lambda b, c, t, *refs: (b, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        )
-        buf = pl.pallas_call(
-            _make_kernel_dense(n_tw),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(
-                (B, n_tiles, N_OUT_ROWS, TILE_PX), jnp.float32
-            ),
-            interpret=interpret,
-        )(chunk_bbox.reshape(B, n_chunks * 4), At)
-        x = buf.reshape(B, n_th, n_tw, N_OUT_ROWS, TILE_H, TILE_W)
-        x = x.transpose(0, 3, 1, 4, 2, 5).reshape(B, N_OUT_ROWS, Hp, Wp)
+            )
+            buf = pl.pallas_call(
+                _make_kernel_dense(n_tw, v_offset=bi * band_th * TILE_H),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct(
+                    (B, band_tiles, N_OUT_ROWS, TILE_PX), jnp.float32
+                ),
+                interpret=interpret,
+            )(bbox_flat, At)
+            bands.append(buf)
+        buf = jnp.concatenate(bands, axis=1)  # [B, n_bands*band_tiles, ...]
+        hp_pad = n_bands * band_th * TILE_H
+        x = buf.reshape(B, n_bands * band_th, n_tw, N_OUT_ROWS, TILE_H, TILE_W)
+        x = x.transpose(0, 3, 1, 4, 2, 5).reshape(B, N_OUT_ROWS, hp_pad, Wp)
         return x[:, :, :H, :W]
 
     def run_tilemajor(tile_h: int, tile_w: int):

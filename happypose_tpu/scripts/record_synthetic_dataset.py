@@ -120,14 +120,17 @@ def main(argv=None) -> int:
             m_visib = m_solo & (
                 np.abs(np.asarray(solo.depth[j]) - depth_full) < 1e-4
             )
-            if m_visib.sum() < 16:
-                continue
+            if m_visib.sum() == 0:
+                continue  # zero pixels in frame: nothing to annotate
             ys, xs = np.where(m_visib)
             if cfg.border_check and (
                 ys.min() == 0 or xs.min() == 0
                 or ys.max() == H - 1 or xs.max() == W - 1
             ):
                 return None  # resample the whole frame (ref :185-205)
+            # every rendered pixel gets an annotation — even tiny
+            # mostly-occluded instances (true visib_fract recorded;
+            # downstream visibility filters decide, ref visib>=0.05/0.1)
             labels.append(mesh_db.labels[scene.obj_ids[j]])
             # BOP scene_gt is camera-frame (cam_R_m2c); world alignment
             # goes to scene_camera via TWC (cam_R_w2c)

@@ -275,3 +275,27 @@ def test_matching_and_ntop_match_reference_impl():
     )
     s2 = ev2.summary()
     assert s2["AR_MSSD"] == 1.0 and s2["AR_MSPD"] == 1.0
+
+
+def test_ntop_budget_counts_only_visible_gt():
+    """n_top budget counts GT instances with visib >= 0.1 only
+    (code-review finding r3, matching bop_toolkit's targets inst_count)."""
+    db = _fixture()
+    bm = db.batched(n_points=64)
+    K = np.asarray([[320.0, 0, 120], [0, 320.0, 90], [0, 0, 1]], np.float32)
+    T_gt = _random_poses(np.random.RandomState(5), 2)
+    T_bad = T_gt[0:1].copy()
+    T_bad[:, :3, 3] += 1.0
+    ev = bop19.Bop19Evaluator(meshes=bm)
+    # 2 GTs of object 1: one valid, one 5%-visible. Budget must be 1, so
+    # only the higher-scored (bad) estimate participates -> AR 0.
+    ev.add_image(
+        TCO_pred=np.concatenate([T_bad, T_gt[0:1]]),
+        pred_obj_ids=np.asarray([1, 1]),
+        pred_scores=np.asarray([0.9, 0.5]),
+        TCO_gt=T_gt,
+        gt_obj_ids=np.asarray([1, 1]),
+        gt_visib_fract=np.asarray([1.0, 0.05]),
+        K=K,
+    )
+    assert ev.summary()["AR_MSSD"] == 0.0

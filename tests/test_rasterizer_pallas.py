@@ -118,3 +118,32 @@ def test_dispatch_routes_large_mesh_to_dense():
     while rp._tilemajor_vmem_bytes(nc_max + 1, rp.TILE_PX) <= budget:
         nc_max += 1
     assert nc_max * rp.CHUNK >= 1024, "tile-major should cover >=1k faces"
+
+
+def test_dense_band_splitting_large_resolution():
+    """Large images split the dense sweep into row bands so the resident
+    output block fits scoped VMEM (code-review finding r2: the dense
+    fallback was unbudgeted). Verify the band math AND that a multi-band
+    render stitches correctly."""
+    limit = rp._VMEM_LIMIT - rp._VMEM_HEADROOM
+    # 480x640: n_th=60, n_tw=5 -> unbanded output alone would exceed limit
+    n_th, n_tw = 60, 5
+    assert rp._dense_vmem_bytes(n_th * n_tw, rp.TILE_PX) > limit
+    bt = rp._dense_band_th(n_th, n_tw)
+    assert bt < n_th
+    assert rp._dense_vmem_bytes(bt * n_tw, rp.TILE_PX) <= limit
+
+    # multi-band interpret render == reference (256x512 -> >=2 bands)
+    H2, W2 = 256, 512
+    tw2 = -(-W2 // rp.TILE_W)
+    th2 = -(-H2 // rp.TILE_H)
+    assert rp._dense_band_th(th2, tw2) < th2  # exercises >=2 bands
+    db, assets, K, TCO = _setup()
+    K = jnp.asarray(np.asarray(K) * np.asarray([[[2, 0, 4], [0, 2, 4], [0, 0, 1]]], np.float32))
+    obj_ids = jnp.asarray([db.id_of("sphere"), db.id_of("box")], jnp.int32)
+    ref = render_batch(assets, obj_ids, TCO, K, resolution=(H2, W2))
+    out = render_batch_pallas(
+        assets, obj_ids, TCO, K, resolution=(H2, W2), interpret=True,
+        force_path="dense",
+    )
+    _check_against_reference(ref, out)

@@ -200,3 +200,21 @@ class TestReferenceFixtureParity:
         assert (rgb[0, cy, cx] > 0).all()
         assert 0.15 < depth[0, cy, cx] < 0.3  # in front of the anchor z
         assert np.abs(normals[0, cy, cx]).sum() > 0
+
+
+def test_uv_wrapping_gl_repeat():
+    """Tiled UVs (outside [0,1]) wrap like GL_REPEAT instead of clamping
+    (code-review finding r5)."""
+    m = make_textured_quad()
+    a = m.sample_texture_at_uv(np.asarray([[0.25, 0.5], [1.25, 0.5],
+                                           [-0.75, 0.5]], np.float32))
+    np.testing.assert_allclose(a[1], a[0], atol=1e-5)
+    np.testing.assert_allclose(a[2], a[0], atol=1e-5)
+
+    from happypose_tpu.ops.rasterizer import sample_textures_at
+
+    tex = jnp.asarray(m.texture)[None]
+    uv = jnp.asarray([[[[0.25, 0.5], [1.25, 0.5], [-0.75, 0.5]]]])
+    s = np.asarray(sample_textures_at(tex, jnp.zeros(1, jnp.int32), uv))[0, 0]
+    np.testing.assert_allclose(s[1], s[0], atol=1e-5)
+    np.testing.assert_allclose(s[2], s[0], atol=1e-5)

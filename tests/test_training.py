@@ -218,3 +218,21 @@ def test_nonfinite_batch_skipped():
     state2, m2 = step(state1, good, rng)
     assert float(m2["skipped_nonfinite"]) == 0.0
     assert not np.allclose(np.asarray(state2.params["w"]), np.ones(3))
+
+
+def test_mesh_only_registry():
+    from happypose_tpu.training.synth_data import make_synth_mesh_db
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_synth_mesh_db("mesh_only", None)
+    ref = "/root/reference/tests/data/obj_000001.ply"
+    import os
+    if not os.path.exists(ref):
+        _pytest.skip("reference fixture absent")
+    db = make_synth_mesh_db("mesh_only", [ref], max_faces=3000)
+    assert db.labels == ["mesh0"]
+    m = db.meshes["mesh0"]
+    assert len(m.faces) <= 3000
+    assert m.texture is not None  # procedural texture over shipped UVs
+    assert db.scales["mesh0"] == 1e-3  # mm -> m
