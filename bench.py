@@ -15,6 +15,7 @@ an on-device lax.scan to amortize the host tunnel round-trip.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -24,6 +25,99 @@ import jax.numpy as jnp
 REFERENCE_POSE_ITERS_PER_SEC = 50.0  # V100-era anchor, see docstring
 B = 16  # bsz_objects (reference default, inference/types.py:98)
 N_SCAN = 20
+
+
+def _timed(fn, *args):
+    """Compile, then time N_SCAN on-device repeats; returns seconds/call."""
+    @jax.jit
+    def many(a):
+        def body(x, _):
+            return x, fn(*a)
+
+        _, outs = jax.lax.scan(body, 0, None, length=N_SCAN)
+        return outs
+
+    jax.block_until_ready(many(args))
+    t0 = time.time()
+    jax.block_until_ready(many(args))
+    return (time.time() - t0) / N_SCAN
+
+
+def breakdown():
+    """Per-stage timing of the refiner iteration (dev tool, not the
+    driver's JSON contract): render / crop / CNN / full iteration."""
+    from happypose_tpu.meshes.database import MeshDataBase
+    from happypose_tpu.meshes.io import make_box_mesh, make_uv_sphere
+    from happypose_tpu.models import PosePredictor, PosePredictorConfig
+    from happypose_tpu.ops.rasterizer import render_batch
+    from happypose_tpu.ops.rasterizer_pallas import render_batch_pallas
+    from happypose_tpu.ops.crop_resize import crop_images_matmul
+
+    db = MeshDataBase(
+        meshes={
+            "sphere": make_uv_sphere(radius=0.05, n_lat=24, n_lon=32),
+            "box": make_box_mesh((0.04, 0.03, 0.05)),
+        }
+    )
+    assets = db.render_assets()
+    on_tpu = jax.default_backend() not in ("cpu",)
+    renderer = "pallas" if on_tpu else "reference"
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.rand(B, 3, 240, 320).astype(np.float32))
+    K = jnp.broadcast_to(
+        jnp.asarray([[600.0, 0, 160], [0, 600.0, 120], [0, 0, 1]]), (B, 3, 3)
+    )
+    obj_ids = jnp.asarray([0, 1] * (B // 2), jnp.int32)
+    TCO0 = jnp.broadcast_to(jnp.eye(4), (B, 4, 4)).at[:, 2, 3].set(0.5)
+    boxes = jnp.broadcast_to(
+        jnp.asarray([80.0, 40.0, 240.0, 200.0]), (B, 4)
+    )
+
+    render_fn = render_batch_pallas if on_tpu else render_batch
+    t_render = _timed(
+        lambda: render_fn(assets, obj_ids, TCO0, K).rgb
+    )
+    t_crop = _timed(
+        lambda: crop_images_matmul(
+            images, boxes, output_size=(240, 320), sampling_ratio=4
+        )
+    )
+    cfg = PosePredictorConfig(
+        backbone="resnet34", render_size=(240, 320), renderer=renderer,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+    )
+    model = PosePredictor(cfg)
+    bm = db.batched(n_points=512)
+    meshes = bm.select(obj_ids)
+    variables = model.init(
+        jax.random.PRNGKey(0), images, K, obj_ids, TCO0, assets, meshes,
+        n_iterations=1,
+    )
+    x9 = jnp.asarray(rs.rand(B, 9, 240, 320).astype(np.float32))
+
+    def cnn_only():
+        return model.apply(
+            variables, x9[:, :3], K, obj_ids, TCO0, assets, meshes,
+            n_iterations=1, method=lambda m, *a, **k: m._net_forward(
+                jnp.concatenate([a[0], jnp.tile(a[0], (1, 2, 1, 1))], 1),
+                False,
+            ),
+        )["pose"]
+
+    t_cnn = _timed(cnn_only)
+    t_full = _timed(
+        lambda: model.apply(
+            variables, images, K, obj_ids, TCO0, assets, meshes,
+            n_iterations=1,
+        ).TCO_output
+    )
+    print(json.dumps({
+        "render_ms": round(t_render * 1e3, 3),
+        "crop_ms": round(t_crop * 1e3, 3),
+        "cnn9ch_ms": round(t_cnn * 1e3, 3),
+        "full_iter_ms": round(t_full * 1e3, 3),
+        "batch": B,
+    }))
 
 
 def main():
@@ -96,4 +190,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--breakdown" in sys.argv:
+        breakdown()
+    else:
+        main()
