@@ -160,7 +160,12 @@ class PosePredictor(nn.Module):
             im_size=(H, W),
         )
         images_crop = crop_images_matmul(
-            images, boxes_crop, output_size=self.cfg.render_size, sampling_ratio=4
+            images, boxes_crop, output_size=self.cfg.render_size,
+            sampling_ratio=4,
+            matmul_dtype=(
+                jnp.bfloat16
+                if self.cfg.compute_dtype == "bfloat16" else None
+            ),
         )
         K_crop = get_K_crop_resize(K, boxes_crop, (H, W), self.cfg.render_size)
         return images_crop, K_crop, boxes_rend, boxes_crop

@@ -47,19 +47,25 @@ def _axis_matrix(
     return w
 
 
-@partial(jax.jit, static_argnames=("output_size", "sampling_ratio"))
+@partial(
+    jax.jit, static_argnames=("output_size", "sampling_ratio", "matmul_dtype")
+)
 def roi_align_matmul(
     images: jax.Array,
     boxes: jax.Array,
     output_size: tuple,
     sampling_ratio: int = 4,
+    matmul_dtype=None,
 ) -> jax.Array:
     """Drop-in equivalent of ops.roi_align.roi_align (one ROI per image).
 
     Args:
       images: [B, C, H, W]; boxes: [B, 4] (x1, y1, x2, y2).
+      matmul_dtype: optional lower-precision dtype for the MXU passes
+        (f32 accumulation); the bf16 compute path feeds bf16 CNNs, where
+        resampling at ~1/256 precision is lossless downstream.
     Returns:
-      [B, C, out_h, out_w].
+      [B, C, out_h, out_w] in the input dtype.
     """
     B, C, H, W = images.shape
     out_h, out_w = output_size
@@ -70,8 +76,18 @@ def roi_align_matmul(
     Rx = _axis_matrix(
         boxes[:, 0], boxes[:, 2] - boxes[:, 0], W, out_w, sampling_ratio, dtype
     )  # [B, out_w, W]
-    tmp = jnp.einsum("bih,bchw->bciw", Ry, images)
-    return jnp.einsum("bciw,bjw->bcij", tmp, Rx)
+    if matmul_dtype is not None:
+        Ry = Ry.astype(matmul_dtype)
+        Rx = Rx.astype(matmul_dtype)
+        images = images.astype(matmul_dtype)
+    tmp = jnp.einsum(
+        "bih,bchw->bciw", Ry, images, preferred_element_type=dtype
+    )
+    out = jnp.einsum(
+        "bciw,bjw->bcij", tmp.astype(Ry.dtype), Rx,
+        preferred_element_type=dtype,
+    )
+    return out.astype(dtype)
 
 
 def crop_images_matmul(
@@ -79,10 +95,14 @@ def crop_images_matmul(
     boxes: jax.Array,
     output_size: tuple,
     sampling_ratio: int = 4,
+    matmul_dtype=None,
 ) -> jax.Array:
     """RGB(+depth) crop with depth invalidation (see roi_align.crop_images)."""
-    crops = roi_align_matmul(images, boxes, output_size, sampling_ratio)
+    crops = roi_align_matmul(
+        images, boxes, output_size, sampling_ratio, matmul_dtype
+    )
     if images.shape[1] == 4:
+        # depth validity stays full precision (exact >= 0.99 threshold)
         depth_valid = (images[:, 3:4] > 0).astype(images.dtype)
         valid_crop = roi_align_matmul(
             depth_valid, boxes, output_size, sampling_ratio

@@ -81,3 +81,18 @@ def test_matmul_crop_matches_gather():
         roi_align_matmul(jnp.asarray(images), jnp.asarray(boxes), (8, 10), 4)
     )
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_matmul_dtype_bf16_close_to_f32():
+    """bf16 MXU crop path (the bf16-CNN feed) stays within bf16 tolerance
+    of the exact f32 resampling."""
+    import jax.numpy as jnp
+    from happypose_tpu.ops.crop_resize import roi_align_matmul
+
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.rand(2, 3, 60, 80).astype(np.float32))
+    boxes = jnp.asarray([[10.0, 5.0, 70.0, 55.0], [0.0, 0.0, 40.0, 30.0]])
+    a = roi_align_matmul(images, boxes, (24, 32))
+    b = roi_align_matmul(images, boxes, (24, 32), matmul_dtype=jnp.bfloat16)
+    assert b.dtype == a.dtype
+    assert float(jnp.abs(a - b).max()) < 0.02
