@@ -236,7 +236,9 @@ def write_bop_models(models_dir: Union[str, Path], mesh_db) -> None:
     info = {}
     for label in mesh_db.labels:
         obj_id = int(label.split("_")[-1])
-        mesh = mesh_db.meshes[label]
+        # bake textures to vertex colors so the written PLY keeps the
+        # object's appearance (save_ply has no UV/texture columns)
+        mesh = mesh_db.meshes[label].with_baked_texture()
         scale = mesh_db.scales.get(label, 1.0) * 1000.0
         save_ply(
             models_dir / f"obj_{obj_id:06d}.ply",

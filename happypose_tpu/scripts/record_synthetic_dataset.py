@@ -70,7 +70,9 @@ def main(argv=None) -> int:
         mesh_db = BOPObjectDataset(args.models_dir).mesh_db
     else:
         mesh_db = MeshDataBase(meshes={
-            "obj_000001": make_uv_sphere(0.04, 16, 24, with_uv=True),
+            # dense enough that baked vertex colors (write_bop_models)
+            # retain texture detail
+            "obj_000001": make_uv_sphere(0.04, 24, 32, with_uv=True),
             "obj_000002": make_box_mesh((0.035, 0.025, 0.045)),
         })
     if args.textures_on_objects:

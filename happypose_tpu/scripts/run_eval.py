@@ -71,6 +71,18 @@ def main(argv=None) -> int:
     scene_ds = BOPSceneDataset(args.split_dir, load_depth=args.bop19)
     logger.info(f"{len(scene_ds)} frames, {len(obj_ds.labels)} objects")
 
+    if args.model == "from-checkpoints":
+        # build the spec from the run dirs' own configs
+        from happypose_tpu.utils.load_model import spec_from_checkpoints
+
+        if args.checkpoints is None:
+            p.error("--model from-checkpoints requires --checkpoints")
+        dirs = {
+            kind: args.checkpoints / kind
+            for kind in ("refiner", "coarse")
+            if (args.checkpoints / kind).exists()
+        }
+        NAMED_MODELS["from-checkpoints"] = spec_from_checkpoints(dirs)
     spec = NAMED_MODELS[args.model]
     icfg = spec.inference_cfg
     if args.so3_grid:

@@ -91,6 +91,37 @@ def _default_specs() -> Dict[str, NamedModelSpec]:
 NAMED_MODELS: Dict[str, NamedModelSpec] = _default_specs()
 
 
+def spec_from_checkpoints(
+    checkpoint_dirs: Dict[str, Path],
+    inference_cfg: Optional[InferenceConfig] = None,
+) -> NamedModelSpec:
+    """Build a spec from training run dirs' own saved configs — evaluate
+    ANY `run_pose_training` output without a matching named spec (the
+    reference reloads run configs the same way,
+    cosypose/training/pose_models_cfg.py:62-75)."""
+    import json
+
+    def cfg_from(run_dir: Path, coarse: bool) -> PosePredictorConfig:
+        c = json.loads((Path(run_dir) / "config.json").read_text())
+        return PosePredictorConfig(
+            backbone=c.get("backbone", "wide_resnet18"),
+            render_size=tuple(c.get("render_size", (120, 160))),
+            renderer=_renderer(),
+            compute_dtype="bfloat16" if c.get("bf16") else "float32",
+            predict_pose_update=not coarse,
+            predict_rendered_views_logits=coarse,
+        )
+
+    return NamedModelSpec(
+        refiner_cfg=cfg_from(checkpoint_dirs["refiner"], coarse=False),
+        coarse_cfg=(
+            cfg_from(checkpoint_dirs["coarse"], coarse=True)
+            if "coarse" in checkpoint_dirs else None
+        ),
+        inference_cfg=inference_cfg or InferenceConfig(),
+    )
+
+
 def load_named_model(
     name: str,
     mesh_db: MeshDataBase,
