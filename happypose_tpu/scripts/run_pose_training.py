@@ -118,7 +118,7 @@ def main(argv=None) -> int:
 
         obj_ds = BOPObjectDataset(args.models_dir)
         mesh_db = obj_ds.mesh_db
-        scene_ds = BOPSceneDataset(args.data)
+        scene_ds = BOPSceneDataset(args.data, cache_frames=True)
         pose_ds = PoseDataset(
             scene_ds, mesh_db, batch_size=args.batch_size,
             resolution=tuple(args.image_size),
