@@ -39,6 +39,13 @@ class PoseDataset:
     apply_depth_augmentation: bool = False
     apply_background_augmentation: bool = True
     seed: int = 0
+    # Stage the whole split's RGB frames on-device ONCE (uint8) and build
+    # batches by device-side gather — per-batch host->device traffic drops
+    # from ~30 MB of f32 images to 32 ints. Worth it whenever the split
+    # fits HBM (240 frames @ 240x320 = 55 MB); essential through remote-
+    # TPU tunnels where every transfer pays 50-300 ms RPC latency.
+    # Requires uniform frame shapes; falls back silently otherwise.
+    device_cache: bool = False
 
     def _valid_objects(self, obs) -> List[int]:
         if obs.obj_labels is None:
@@ -57,25 +64,49 @@ class PoseDataset:
             out.append(i)
         return out
 
+    def _build_device_cache(self):
+        """[N, H, W, 3] uint8 device tensor of all frames (or None)."""
+        n = len(self.scene_ds)
+        shapes = {self.scene_ds[i].rgb.shape for i in range(min(n, 4))}
+        if len(shapes) != 1:
+            return None
+        frames = np.stack([self.scene_ds[i].rgb for i in range(n)])
+        if frames.dtype != np.uint8:
+            return None
+        return jnp.asarray(frames)
+
     def __iter__(self) -> Iterator[PoseTrainingBatch]:
         rng = np.random.RandomState(self.seed)
         key = jax.random.PRNGKey(self.seed)
         n = len(self.scene_ds)
+        frames_dev = self._build_device_cache() if self.device_cache else None
         while True:
-            images, Ks, ids, TCOs = [], [], [], []
-            while len(images) < self.batch_size:
-                obs = self.scene_ds[int(rng.randint(n))]
+            images, frame_idx, Ks, ids, TCOs = [], [], [], [], []
+            while len(Ks) < self.batch_size:
+                fi = int(rng.randint(n))
+                obs = self.scene_ds[fi]
                 cand = self._valid_objects(obs)
                 if not cand:
                     continue
                 j = cand[rng.randint(len(cand))]
-                images.append(
-                    np.moveaxis(obs.rgb.astype(np.float32) / 255.0, -1, 0)
-                )
+                if frames_dev is None:
+                    images.append(
+                        np.moveaxis(obs.rgb.astype(np.float32) / 255.0, -1, 0)
+                    )
+                else:
+                    frame_idx.append(fi)
                 Ks.append(obs.K)
                 ids.append(self.mesh_db.id_of(obs.obj_labels[j]))
                 TCOs.append(obs.TWO[j])
-            imgs = jnp.asarray(np.stack(images))
+            if frames_dev is None:
+                imgs = jnp.asarray(np.stack(images))
+            else:
+                # device-side gather + layout/normalize: 32 ints cross the
+                # host->device link instead of the images
+                sel = frames_dev[jnp.asarray(frame_idx, jnp.int32)]
+                imgs = jnp.moveaxis(
+                    sel.astype(jnp.float32) / 255.0, -1, 1
+                )
             K = jnp.asarray(np.stack(Ks))
             imgs, K = crop_resize_to_aspect(imgs, K, self.resolution)
             key, k1, k2 = jax.random.split(key, 3)

@@ -122,6 +122,7 @@ def main(argv=None) -> int:
         pose_ds = PoseDataset(
             scene_ds, mesh_db, batch_size=args.batch_size,
             resolution=tuple(args.image_size),
+            device_cache=len(scene_ds) <= 2048,  # <=~500 MB of frames
         )
         it = iter(pose_ds)
 

@@ -226,3 +226,30 @@ class TestInfiniteIterators:
         )
         seen = {o.rgb[0, 0, 0] // 50 for _, o in zip(range(30), iter(mix))}
         assert seen == {0, 1}  # both sources appear
+
+
+def test_pose_dataset_device_cache_matches_host_path(tmp_path):
+    """device_cache=True yields identical batches to the host path
+    (device-side gather + normalize vs per-sample numpy)."""
+    import jax.numpy as jnp
+
+    from happypose_tpu.datasets.bop import BOPSceneDataset
+    from happypose_tpu.datasets.pose_dataset import PoseDataset
+    from happypose_tpu.scripts.record_synthetic_dataset import main as rec
+
+    out = tmp_path / "ds"
+    rec(["--out-dir", str(out), "--n-frames", "4", "--resolution", "48",
+         "64", "--seed", "2", "--write-models"])
+    from happypose_tpu.datasets.bop import BOPObjectDataset
+
+    mesh_db = BOPObjectDataset(out / "models").mesh_db
+    scene_ds = BOPSceneDataset(out, cache_frames=True)
+    kw = dict(batch_size=4, resolution=(48, 64), seed=7,
+              apply_rgb_augmentation=False)
+    a = next(iter(PoseDataset(scene_ds, mesh_db, **kw)))
+    b = next(iter(PoseDataset(scene_ds, mesh_db, device_cache=True, **kw)))
+    np.testing.assert_array_equal(np.asarray(a.obj_ids), np.asarray(b.obj_ids))
+    np.testing.assert_array_equal(np.asarray(a.TCO_gt), np.asarray(b.TCO_gt))
+    np.testing.assert_allclose(
+        np.asarray(a.images), np.asarray(b.images), atol=1e-6
+    )
