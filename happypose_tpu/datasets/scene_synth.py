@@ -62,6 +62,14 @@ class SceneSynthConfig:
     diffuse_interval: Tuple[float, float] = (0.3, 0.9)
     max_camera_tries: int = 8
     separation_iters: int = 24
+    # material / sensor domain randomization (round-3 realism: specular
+    # highlights, depth-of-field blur, sensor noise — the knobs the
+    # reference gets for free from BlenderProc PBR materials and that
+    # matter for sim-to-real rotation learning)
+    specular_interval: Tuple[float, float] = (0.0, 0.45)
+    shininess_interval: Tuple[float, float] = (8.0, 64.0)
+    blur_sigma_interval: Tuple[float, float] = (0.0, 1.2)
+    noise_std_interval: Tuple[float, float] = (0.003, 0.03)
 
 
 @dataclass
@@ -73,6 +81,12 @@ class SynthScene:
     TWC: np.ndarray  # [4, 4] world-from-camera
     K: np.ndarray  # [3, 3]
     light: np.ndarray  # [5] camera-frame light row (dir_xyz, amb, diff)
+    # (spec_strength, shininess, blur_sigma, noise_std) — material + sensor
+    # randomization consumed by the batched recorder's shading/camera model
+    material: np.ndarray = field(
+        default_factory=lambda: np.asarray([0.0, 16.0, 0.0, 0.0], np.float32)
+    )
+    falling: bool = False
 
     @property
     def TCO(self) -> np.ndarray:
@@ -207,13 +221,33 @@ class SceneSynthesizer:
             d = rs.randn(3)
             d[2] = -abs(d[2])  # light from the camera hemisphere
             d = d / np.linalg.norm(d)
+            if falling:
+                # keep the light above the WORLD horizon: a light under the
+                # ground plane would put the whole resting scene in the
+                # floor's shadow (ambient-only frames carry no shading
+                # signal). Flip the world-z component upward if needed.
+                d_w = TWC[:3, :3] @ d
+                if d_w[2] < 0.15:
+                    d_w[2] = abs(d_w[2]) + 0.15
+                    d_w = d_w / np.linalg.norm(d_w)
+                    d = TWC[:3, :3].T @ d_w
             light = np.asarray(
                 [*d, rs.uniform(*cfg.ambient_interval),
                  rs.uniform(*cfg.diffuse_interval)], np.float32
             )
         else:
             light = np.asarray([0, 0, -1, 0.6, 0.6], np.float32)
-        return SynthScene(obj_ids=ids, TWO=TWO, TWC=TWC, K=K, light=light)
+        if cfg.domain_randomization:
+            material = np.asarray(
+                [rs.uniform(*cfg.specular_interval),
+                 rs.uniform(*cfg.shininess_interval),
+                 rs.uniform(*cfg.blur_sigma_interval),
+                 rs.uniform(*cfg.noise_std_interval)], np.float32
+            )
+        else:
+            material = np.asarray([0.0, 16.0, 0.0, 0.0], np.float32)
+        return SynthScene(obj_ids=ids, TWO=TWO, TWC=TWC, K=K, light=light,
+                          material=material, falling=falling)
 
     def background(self) -> np.ndarray:
         """Procedural randomized background [H, W, 3] (the reference

@@ -545,6 +545,90 @@ def make_procedural_texture(size: int = 256, seed: int = 0) -> np.ndarray:
     return np.clip(0.8 * tex + 0.2 * checker, 0.0, 1.0).astype(np.float32)
 
 
+def _texture_noise(size: int, rs: np.random.RandomState) -> np.ndarray:
+    return make_procedural_texture(size, seed=int(rs.randint(2**31)))
+
+
+def _texture_checker(size: int, rs: np.random.RandomState) -> np.ndarray:
+    n = int(rs.choice([4, 6, 8, 12, 16]))
+    c0 = rs.uniform(0.05, 0.95, 3).astype(np.float32)
+    c1 = rs.uniform(0.05, 0.95, 3).astype(np.float32)
+    ii, jj = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    m = (((ii * n) // size + (jj * n) // size) % 2).astype(np.float32)
+    return (m[..., None] * c1 + (1 - m[..., None]) * c0).astype(np.float32)
+
+
+def _texture_stripes(size: int, rs: np.random.RandomState) -> np.ndarray:
+    n = int(rs.choice([3, 5, 8, 13]))
+    ang = rs.uniform(0, np.pi)
+    c0 = rs.uniform(0.05, 0.95, 3).astype(np.float32)
+    c1 = rs.uniform(0.05, 0.95, 3).astype(np.float32)
+    ii, jj = np.meshgrid(
+        np.linspace(0, 1, size), np.linspace(0, 1, size), indexing="ij"
+    )
+    t = ii * np.cos(ang) + jj * np.sin(ang)
+    m = ((t * 2 * n).astype(np.int64) % 2).astype(np.float32)
+    return (m[..., None] * c1 + (1 - m[..., None]) * c0).astype(np.float32)
+
+
+def _texture_cells(size: int, rs: np.random.RandomState) -> np.ndarray:
+    """Voronoi-style random color cells (hard edges at random angles)."""
+    k = int(rs.choice([6, 10, 16, 24]))
+    pts = rs.uniform(0, 1, (k, 2)).astype(np.float32)
+    cols = rs.uniform(0.05, 0.95, (k, 3)).astype(np.float32)
+    ii, jj = np.meshgrid(
+        np.linspace(0, 1, size), np.linspace(0, 1, size), indexing="ij"
+    )
+    # toroidal distance so the texture tiles seamlessly over closed UVs
+    dy = np.abs(ii[..., None] - pts[:, 0])
+    dx = np.abs(jj[..., None] - pts[:, 1])
+    dy = np.minimum(dy, 1 - dy)
+    dx = np.minimum(dx, 1 - dx)
+    idx = np.argmin(dy * dy + dx * dx, axis=-1)
+    return cols[idx]
+
+
+def _texture_speckle(size: int, rs: np.random.RandomState) -> np.ndarray:
+    base = rs.uniform(0.1, 0.9, 3).astype(np.float32)
+    tex = np.tile(base, (size, size, 1))
+    n_dots = int(rs.randint(40, 160))
+    r = max(1, size // 48)
+    for _ in range(n_dots):
+        cy, cx = rs.randint(0, size, 2)
+        col = rs.uniform(0.0, 1.0, 3).astype(np.float32)
+        y0, y1 = max(0, cy - r), min(size, cy + r + 1)
+        x0, x1 = max(0, cx - r), min(size, cx + r + 1)
+        tex[y0:y1, x0:x1] = col
+    return tex
+
+
+TEXTURE_FAMILIES = {
+    "noise": _texture_noise,
+    "checker": _texture_checker,
+    "stripes": _texture_stripes,
+    "cells": _texture_cells,
+    "speckle": _texture_speckle,
+}
+
+
+def make_random_texture(
+    rs: np.random.RandomState, size: int = 128, family: str = None
+) -> np.ndarray:
+    """One texture drawn from the procedural texture library.
+
+    The reference's domain randomization samples from a ShapeNet texture
+    dataset (bop_recording_scene.py:54,92-100 `make_texture_dataset`); we
+    synthesize from 5 procedural families instead (no asset downloads) and
+    randomize family/colors/frequency per draw."""
+    if family is None:
+        family = list(TEXTURE_FAMILIES)[int(rs.randint(len(TEXTURE_FAMILIES)))]
+    tex = TEXTURE_FAMILIES[family](size, rs)
+    # random per-channel gain + brightness for extra variety
+    gain = rs.uniform(0.6, 1.0, (1, 1, 3)).astype(np.float32)
+    off = rs.uniform(-0.1, 0.1)
+    return np.clip(tex * gain + off, 0.0, 1.0).astype(np.float32)
+
+
 def decimate_mesh(mesh: Mesh, target_faces: int) -> Mesh:
     """Vertex-clustering decimation to <= target_faces (approximately).
 

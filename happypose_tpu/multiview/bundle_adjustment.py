@@ -102,7 +102,14 @@ class MultiviewRefinement:
     # of the object blocks (BASELINE.json north star) — the reduced camera
     # system is (n_views*9)^2 regardless of object/candidate count, and all
     # block sums are segment ops (shardable over the candidate axis).
+    # "schur_sharded": same math with the candidate axis partitioned over
+    # `device_mesh` via shard_map; the JᵀJ/Jᵀe object & camera block sums
+    # are psum'd over the mesh axis and the small reduced camera solve runs
+    # replicated — the north star's "blocks partitioned across hosts and
+    # reduced over ICI collectives" (ref CPU-pinverse LM this replaces:
+    # cosypose/multiview/bundle_adjustment.py:272-350).
     solver: str = "dense"
+    device_mesh: object = None  # jax.sharding.Mesh for "schur_sharded"
 
     def __post_init__(self):
         self.n_views = int(self.K.shape[0])
@@ -118,6 +125,29 @@ class MultiviewRefinement:
         self.TCO_j = jnp.asarray(self.cand_TCO, jnp.float32)
         self.v_idx = jnp.asarray(self.cand_view_idx, jnp.int32)
         self.o_idx = jnp.asarray(self.cand_obj_idx, jnp.int32)
+        C = len(self.cand_view_idx)
+        self.cand_weight = jnp.ones((C,), jnp.float32)
+        if self.solver == "schur_sharded":
+            assert self.device_mesh is not None, (
+                "schur_sharded needs device_mesh"
+            )
+            n_dev = int(np.prod(
+                [self.device_mesh.shape[a]
+                 for a in self.device_mesh.axis_names]
+            ))
+            pad = (-C) % n_dev
+            # zero-weight padding candidates keep per-device shards equal;
+            # they contribute nothing to the block sums. Padded copies live
+            # beside (not instead of) the real arrays — alignment and loss
+            # evaluation stay exact-size.
+            z = lambda x, fill: jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]
+            ) if pad else x
+            self._sh_points = z(self.cand_points, 0.0)
+            self._sh_v_idx = z(self.v_idx, 0)
+            self._sh_o_idx = z(self.o_idx, 0)
+            self._sh_weight = z(self.cand_weight, 0.0)
+            self._sh_pad = pad
 
     # -------------------- residuals --------------------
 
@@ -178,11 +208,12 @@ class MultiviewRefinement:
         A = JtJ * s[:, None] * s[None, :] + lambd * jnp.diag(s**2)
         b = (J.T @ clipped) * s
         h = jnp.linalg.solve(A, b) * s
-        # gauge fix: first camera does not move
+        # gauge fix: first camera does not move (where, not multiply — a
+        # non-finite entry must not poison the frozen block)
         mask = jnp.ones_like(params)
         start = self.n_objects * 9
         mask = mask.at[start : start + 9].set(0.0)
-        return params + h * mask, loss
+        return params + jnp.where(mask > 0, h, 0.0), loss
 
     # -------------------- Schur-complement LM --------------------
 
@@ -196,48 +227,53 @@ class MultiviewRefinement:
         uv_target = project_points(pts[None], K[None], T_target[None])[0]
         return (uv_target - uv_model).reshape(-1)  # [p*2]
 
-    @partial(jax.jit, static_argnames=("self",))
-    def _lm_step_schur(self, params, T_target, lambd, residuals_threshold):
-        """Same update as `_lm_step` but via block elimination.
+    def _cand_blocks(self, params, T_target, o_idx, v_idx, pts, weight,
+                     residuals_threshold):
+        """Per-candidate JᵀJ / Jᵀe block sums, segment-added into full-size
+        (n_obj / n_views) tensors. The sparsity+reduction unit shared by the
+        single-device and mesh-sharded Schur paths; `weight` zeroes padding
+        candidates."""
+        n_obj, n_views = self.n_objects, self.n_views
+        two_c = params[: n_obj * 9].reshape(n_obj, 9)[o_idx]  # [c, 9]
+        tcw_c = params[n_obj * 9 :].reshape(n_views, 9)[v_idx]
+        Kc = self.K_j[v_idx]
+
+        f = self._cand_residual
+        r = jax.vmap(f)(two_c, tcw_c, pts, Kc, T_target)
+        A = jax.vmap(jax.jacfwd(f, argnums=0))(
+            two_c, tcw_c, pts, Kc, T_target
+        )  # [c, m, 9]
+        Bj = jax.vmap(jax.jacfwd(f, argnums=1))(
+            two_c, tcw_c, pts, Kc, T_target
+        )  # [c, m, 9]
+        e = jnp.clip(r, -residuals_threshold, residuals_threshold) \
+            * weight[:, None]
+        loss_sum = jnp.sum(
+            jnp.minimum(r**2, residuals_threshold**2).sum(-1) * weight
+        )
+        w2 = weight[:, None, None]
+        AtA = jnp.einsum("cmi,cmj->cij", A, A) * w2
+        BtB = jnp.einsum("cmi,cmj->cij", Bj, Bj) * w2
+        AtB = jnp.einsum("cmi,cmj->cij", A, Bj) * w2
+        Ate = jnp.einsum("cmi,cm->ci", A, e)
+        Bte = jnp.einsum("cmi,cm->ci", Bj, e)
+
+        U = jnp.zeros((n_obj, 9, 9)).at[o_idx].add(AtA)
+        V = jnp.zeros((n_views, 9, 9)).at[v_idx].add(BtB)
+        W = jnp.zeros((n_obj, n_views, 9, 9)).at[o_idx, v_idx].add(AtB)
+        b_o = jnp.zeros((n_obj, 9)).at[o_idx].add(Ate)
+        b_v = jnp.zeros((n_views, 9)).at[v_idx].add(Bte)
+        return U, V, W, b_o, b_v, loss_sum
+
+    def _schur_reduce_solve(self, U, V, W, b_o, b_v, lambd):
+        """Eliminate the object blocks and solve the reduced camera system.
 
         J^T J = [[U, W], [W^T, V]] with U block-diagonal over objects and V
-        over cameras; the object blocks are eliminated:
-        (V - W^T U^-1 W) h_c = b_c - W^T U^-1 b_o, then back-substitution.
+        over cameras; (V - WᵀU⁻¹W) h_c = b_c - WᵀU⁻¹b_o, back-substitute.
         The reference's dense `pinverse` on CPU (bundle_adjustment.py:272-279)
         scales with (9*(n_obj+n_views))^2; this scales with candidates only
         linearly and solves a (9*n_views)^2 system."""
         n_obj, n_views = self.n_objects, self.n_views
-        two_all = params[: n_obj * 9].reshape(n_obj, 9)
-        tcw_all = params[n_obj * 9 :].reshape(n_views, 9)
-        two_c = two_all[self.o_idx]  # [C, 9]
-        tcw_c = tcw_all[self.v_idx]
-        Kc = self.K_j[self.v_idx]
-
-        f = self._cand_residual
-        r = jax.vmap(f)(two_c, tcw_c, self.cand_points, Kc, T_target)
-        A = jax.vmap(jax.jacfwd(f, argnums=0))(
-            two_c, tcw_c, self.cand_points, Kc, T_target
-        )  # [C, m, 9]
-        Bj = jax.vmap(jax.jacfwd(f, argnums=1))(
-            two_c, tcw_c, self.cand_points, Kc, T_target
-        )  # [C, m, 9]
-        e = jnp.clip(r, -residuals_threshold, residuals_threshold)
-        loss = jnp.mean(jnp.minimum(r**2, residuals_threshold**2))
-
-        AtA = jnp.einsum("cmi,cmj->cij", A, A)
-        BtB = jnp.einsum("cmi,cmj->cij", Bj, Bj)
-        AtB = jnp.einsum("cmi,cmj->cij", A, Bj)
-        Ate = jnp.einsum("cmi,cm->ci", A, e)
-        Bte = jnp.einsum("cmi,cm->ci", Bj, e)
-
-        U = jnp.zeros((n_obj, 9, 9)).at[self.o_idx].add(AtA)
-        V = jnp.zeros((n_views, 9, 9)).at[self.v_idx].add(BtB)
-        W = jnp.zeros((n_obj, n_views, 9, 9)).at[
-            self.o_idx, self.v_idx
-        ].add(AtB)
-        b_o = jnp.zeros((n_obj, 9)).at[self.o_idx].add(Ate)
-        b_v = jnp.zeros((n_views, 9)).at[self.v_idx].add(Bte)
-
         # Jacobi preconditioning: the 9d ortho6d blocks are singular along
         # the parameterization's scale directions, so eliminating U in f32
         # without scaling is unstable. Solving S(J^TJ+λI)S y = S b with
@@ -273,19 +309,88 @@ class MultiviewRefinement:
         S = S.at[jnp.arange(n_views), jnp.arange(n_views)].add(V)
         S = S.transpose(0, 2, 1, 3).reshape(n_views * 9, n_views * 9)
         rhs = b_v - jnp.einsum("ovki,okl,ol->vi", W, Uinv, b_o)
-        h_c = jnp.linalg.solve(S, rhs.reshape(-1)).reshape(n_views, 9)
+        rhs = rhs.reshape(-1)
+        # gauge fix INSIDE the system: camera 0's rows/cols become the
+        # identity with zero rhs, so S is structurally nonsingular and
+        # h_c[0] == 0 exactly (fixing it only after the solve leaves S
+        # singular — LU then returns NaN on some backends/compilations)
+        S = S.at[:9, :].set(0.0).at[:, :9].set(0.0)
+        S = S.at[:9, :9].set(jnp.eye(9))
+        rhs = rhs.at[:9].set(0.0)
+        h_c = jnp.linalg.solve(S, rhs).reshape(n_views, 9)
         h_o = jnp.einsum(
             "okl,ol->ok", Uinv,
             b_o - jnp.einsum("ovij,vj->oi", W, h_c),
         )
         h_o = h_o * s_o  # undo the scaling
         h_c = h_c * s_v
+        return jnp.concatenate([h_o.reshape(-1), h_c.reshape(-1)])
 
-        h = jnp.concatenate([h_o.reshape(-1), h_c.reshape(-1)])
+    def _apply_step(self, params, h, loss_sum):
         mask = jnp.ones_like(params)
-        start = n_obj * 9
+        start = self.n_objects * 9
         mask = mask.at[start : start + 9].set(0.0)  # gauge fix camera 0
-        return params + h * mask, loss
+        # where (not multiply): a non-finite h entry in the gauge-fixed
+        # block must not poison the frozen camera-0 parameters
+        h = jnp.where(mask > 0, h, 0.0)
+        n_res = self._n_residuals()
+        return params + h, loss_sum / n_res
+
+    def _n_residuals(self):
+        return float(len(self.cand_view_idx) * self.cand_points.shape[1] * 2)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _lm_step_schur(self, params, T_target, lambd, residuals_threshold):
+        """Single-device Schur-complement LM step."""
+        U, V, W, b_o, b_v, loss_sum = self._cand_blocks(
+            params, T_target, self.o_idx, self.v_idx, self.cand_points,
+            self.cand_weight, residuals_threshold,
+        )
+        h = self._schur_reduce_solve(U, V, W, b_o, b_v, lambd)
+        return self._apply_step(params, h, loss_sum)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _lm_step_schur_sharded(
+        self, params, T_target, lambd, residuals_threshold
+    ):
+        """Schur LM step with the candidate axis partitioned over the device
+        mesh: every device builds the block sums of its candidate shard,
+        the [n_obj|n_views]-sized U/V/W/b blocks are psum'd over the mesh
+        axis (ICI collectives on hardware), and the small reduced camera
+        solve runs replicated. Numerically identical to `_lm_step_schur`
+        for any device count (tests/test_ba_schur.py)."""
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        mesh = self.device_mesh
+        axis = mesh.axis_names[0]
+        pad = self._sh_pad
+        # padding target poses sit 1 m in front of the camera: their
+        # residuals are finite (project_points divides by z) and their
+        # zero weight removes them from every block sum
+        T_pad = jnp.eye(4).at[2, 3].set(1.0)
+        T_t = jnp.concatenate(
+            [T_target, jnp.broadcast_to(T_pad, (pad, 4, 4))]
+        ) if pad else T_target
+
+        def local(o_idx, v_idx, pts, weight, T_t_local):
+            U, V, W, b_o, b_v, loss_sum = self._cand_blocks(
+                params, T_t_local, o_idx, v_idx, pts, weight,
+                residuals_threshold,
+            )
+            return jax.tree_util.tree_map(
+                lambda x: jax.lax.psum(x, axis),
+                (U, V, W, b_o, b_v, loss_sum),
+            )
+
+        U, V, W, b_o, b_v, loss_sum = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P(), P(), P(), P(), P()),
+        )(self._sh_o_idx, self._sh_v_idx, self._sh_points,
+          self._sh_weight, T_t)
+        h = self._schur_reduce_solve(U, V, W, b_o, b_v, lambd)
+        return self._apply_step(params, h, loss_sum)
 
     @partial(jax.jit, static_argnames=("self",))
     def _loss(self, params, T_target, residuals_threshold):
@@ -323,10 +428,10 @@ class MultiviewRefinement:
             )
             lambd = lambd0
             loss = float(self._loss(params, T_target, residuals_threshold))
-            step = (
-                self._lm_step_schur if self.solver == "schur"
-                else self._lm_step
-            )
+            step = {
+                "schur": self._lm_step_schur,
+                "schur_sharded": self._lm_step_schur_sharded,
+            }.get(self.solver, self._lm_step)
             for _ in range(n_iterations):
                 new_params, _ = step(
                     params, T_target, lambd, residuals_threshold
