@@ -122,7 +122,10 @@ def main(argv=None) -> int:
         pose_ds = PoseDataset(
             scene_ds, mesh_db, batch_size=args.batch_size,
             resolution=tuple(args.image_size),
-            device_cache=len(scene_ds) <= 2048,  # <=~500 MB of frames
+            # uint8 240x320 frames are 230 KB each -> 4096 frames ~ 1 GB
+            # of HBM, well within v5e; the device cache removes the
+            # 30 MB/batch host->device staging (TRAINING_NOTES r2)
+            device_cache=len(scene_ds) <= 4400,
         )
         it = iter(pose_ds)
 
