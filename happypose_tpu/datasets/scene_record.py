@@ -421,11 +421,11 @@ class BatchedSceneRecorder:
             self.assets, textures=jnp.asarray(tex)
         )
 
-    def _sample_batch(self):
+    def _sample_batch(self, scenes: Optional[List[SynthScene]] = None):
         B, N = self.batch_scenes, self.n_max
-        scenes: List[SynthScene] = [
-            self.synth.sample_scene() for _ in range(B)
-        ]
+        if scenes is None:
+            scenes = [self.synth.sample_scene() for _ in range(B)]
+        assert len(scenes) == B
         M = B * N
         obj_ids = np.zeros(M, np.int32)
         scene_of = np.repeat(np.arange(B, dtype=np.int32), N)
@@ -474,50 +474,60 @@ class BatchedSceneRecorder:
             bg_gain=jnp.asarray(bg_gain),
         )
 
+    def _render_frames(
+        self, scenes: Optional[List[SynthScene]] = None
+    ) -> List[Optional[RecordedFrame]]:
+        """Render one device batch; returns a frame per input scene/view
+        (None where the border check or visibility rejected it)."""
+        if self.randomize_object_textures:
+            self._refresh_object_textures()
+        scenes, dev = self._sample_batch(scenes)
+        key = jax.random.PRNGKey(int(self.rs.randint(2**31)))
+        out = record_scene_batch(
+            self.assets, key=key, n_scenes=self.batch_scenes,
+            resolution=self.cfg.resolution, renderer=self.renderer,
+            shadow_size=self.shadow_size, enable_shadows=self.shadows,
+            bg_pool=self.bg_pool, **dev,
+        )
+        out = jax.tree_util.tree_map(np.asarray, out)
+        N = self.n_max
+        frames: List[Optional[RecordedFrame]] = []
+        for b, sc in enumerate(scenes):
+            ok = out.any_vis[b] and not (
+                self.cfg.border_check and out.border_bad[b]
+            )
+            if not ok:
+                frames.append(None)
+                continue
+            labels, tcos, bbs, vf = [], [], [], []
+            for j in range(len(sc.obj_ids)):
+                m = b * N + j
+                if out.visib_px[m] < self.min_annot_px:
+                    continue
+                labels.append(self.db.labels[int(sc.obj_ids[j])])
+                tcos.append(sc.TCO[j])
+                bbs.append(out.bbox[m])
+                vf.append(out.visib_px[m] / max(int(out.solo_px[m]), 1))
+            if not labels:
+                frames.append(None)
+                continue
+            frames.append(RecordedFrame(
+                rgb=out.rgb[b], depth=out.depth[b], K=sc.K, TWC=sc.TWC,
+                labels=labels, TCO=np.stack(tcos),
+                bboxes=np.asarray(bbs, np.float32),
+                visib_fract=np.asarray(vf, np.float32),
+            ))
+        return frames
+
     def record(self, n_frames: int, max_batches: Optional[int] = None,
                progress_every: int = 0) -> List[RecordedFrame]:
         frames: List[RecordedFrame] = []
         n_batches = 0
         limit = max_batches or (n_frames // self.batch_scenes + 1) * 20
         while len(frames) < n_frames and n_batches < limit:
-            if self.randomize_object_textures:
-                self._refresh_object_textures()
-            scenes, dev = self._sample_batch()
-            key = jax.random.PRNGKey(int(self.rs.randint(2**31)))
-            out = record_scene_batch(
-                self.assets, key=key, n_scenes=self.batch_scenes,
-                resolution=self.cfg.resolution, renderer=self.renderer,
-                shadow_size=self.shadow_size, enable_shadows=self.shadows,
-                bg_pool=self.bg_pool, **dev,
-            )
-            out = jax.tree_util.tree_map(np.asarray, out)
+            got = [f for f in self._render_frames() if f is not None]
+            frames.extend(got[: n_frames - len(frames)])
             n_batches += 1
-            B, N = self.batch_scenes, self.n_max
-            for b, sc in enumerate(scenes):
-                ok = out.any_vis[b] and not (
-                    self.cfg.border_check and out.border_bad[b]
-                )
-                if len(frames) >= n_frames or not ok:
-                    continue
-                labels, tcos, bbs, vf = [], [], [], []
-                for j in range(len(sc.obj_ids)):
-                    m = b * N + j
-                    if out.visib_px[m] < self.min_annot_px:
-                        continue
-                    labels.append(self.db.labels[int(sc.obj_ids[j])])
-                    tcos.append(sc.TCO[j])
-                    bbs.append(out.bbox[m])
-                    vf.append(
-                        out.visib_px[m] / max(int(out.solo_px[m]), 1)
-                    )
-                if not labels:
-                    continue
-                frames.append(RecordedFrame(
-                    rgb=out.rgb[b], depth=out.depth[b], K=sc.K, TWC=sc.TWC,
-                    labels=labels, TCO=np.stack(tcos),
-                    bboxes=np.asarray(bbs, np.float32),
-                    visib_fract=np.asarray(vf, np.float32),
-                ))
             if progress_every and n_batches % progress_every == 0:
                 from happypose_tpu.utils.logging import get_logger
 
@@ -526,3 +536,51 @@ class BatchedSceneRecorder:
                     f"({n_batches} batches)"
                 )
         return frames
+
+    def record_multiview(
+        self, n_scenes: int, n_views: int, min_views: int = 2,
+        max_rounds: Optional[int] = None,
+    ) -> List[List[RecordedFrame]]:
+        """Record multi-view scenes: one world layout, `n_views` cameras.
+
+        The light is held fixed in the WORLD frame across views (each
+        view row gets the direction rotated into its camera frame), so
+        shading is multi-view consistent — the setting of the reference's
+        multiview CosyPose eval (MultiViewWrapper groups n_views frames
+        of one scene). Returns per-scene lists of >= min_views frames,
+        ordered [view0, view1, ...]; TWC of each frame is its camera.
+        """
+        import dataclasses as _dc
+
+        groups: List[List[RecordedFrame]] = []
+        per_batch = max(1, self.batch_scenes // n_views)
+        rounds = 0
+        limit = max_rounds or (n_scenes // per_batch + 1) * 20
+        while len(groups) < n_scenes and rounds < limit:
+            rounds += 1
+            entries: List[SynthScene] = []
+            for _ in range(per_batch):
+                sc = self.synth.sample_scene()
+                d_world = sc.TWC[:3, :3] @ sc.light[:3]
+                entries.append(sc)
+                target = sc.TWO[:, :3, 3].mean(0)
+                for _v in range(1, n_views):
+                    TWC_v, K_v = self.synth.sample_camera(target)
+                    light_v = np.concatenate(
+                        [TWC_v[:3, :3].T @ d_world, sc.light[3:]]
+                    ).astype(np.float32)
+                    entries.append(_dc.replace(
+                        sc, TWC=TWC_v.astype(np.float32), K=K_v,
+                        light=light_v,
+                    ))
+            pad = self.batch_scenes - len(entries)
+            entries_p = entries + [entries[-1]] * pad
+            frames = self._render_frames(entries_p)[: len(entries)]
+            for s in range(per_batch):
+                views = [
+                    f for f in frames[s * n_views: (s + 1) * n_views]
+                    if f is not None
+                ]
+                if len(views) >= min_views and len(groups) < n_scenes:
+                    groups.append(views)
+        return groups

@@ -178,6 +178,23 @@ class SceneSynthesizer:
              for l in mesh_db.labels]
         )
 
+    def sample_camera(self, target: np.ndarray):
+        """One spherical camera looking at `target` + sampled intrinsics.
+        Multi-view recording calls this repeatedly on the SAME scene — the
+        reference's `sample_camera` (bop_recording_scene.py:153-178)."""
+        cfg, rs = self.cfg, self.rs
+        rho = rs.uniform(*cfg.camera_distance_interval)
+        theta = rs.uniform(*cfg.theta_interval)
+        phi = rs.uniform(0, 2 * np.pi)
+        roll = np.deg2rad(rs.uniform(-cfg.roll_deg, cfg.roll_deg))
+        TWC = look_at_TWC(target, rho, theta, phi, roll)
+        H, W = cfg.resolution
+        f = rs.uniform(*cfg.focal_interval) * (W / 320.0)
+        K = np.asarray(
+            [[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32
+        )
+        return TWC, K
+
     def sample_scene(self) -> SynthScene:
         cfg, rs = self.cfg, self.rs
         n_min, n_max = cfg.n_objects_interval
@@ -205,17 +222,7 @@ class SceneSynthesizer:
 
         # camera on a sphere around the objects' centroid
         target = TWO[:, :3, 3].mean(0)
-        rho = rs.uniform(*cfg.camera_distance_interval)
-        theta = rs.uniform(*cfg.theta_interval)
-        phi = rs.uniform(0, 2 * np.pi)
-        roll = np.deg2rad(rs.uniform(-cfg.roll_deg, cfg.roll_deg))
-        TWC = look_at_TWC(target, rho, theta, phi, roll)
-
-        H, W = cfg.resolution
-        f = rs.uniform(*cfg.focal_interval) * (W / 320.0)
-        K = np.asarray(
-            [[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32
-        )
+        TWC, K = self.sample_camera(target)
 
         if cfg.domain_randomization:
             d = rs.randn(3)

@@ -208,3 +208,31 @@ def test_batched_recorder_end_to_end():
         assert (f.bboxes[:, 2] < 63).all() and (f.bboxes[:, 3] < 47).all()
         # every annotated object is in front of the camera
         assert (f.TCO[:, 2, 3] > 0).all()
+
+
+def test_record_multiview_world_consistent():
+    """Views of one multi-view scene agree on world-frame object poses
+    (TWC_v @ TCO_v identical across views) — the property multiview
+    RANSAC+BA consumes."""
+    db = MeshDataBase(meshes={
+        "obj_000001": make_uv_sphere(0.03, 10, 14),
+        "obj_000002": make_box_mesh((0.03, 0.02, 0.04)),
+    })
+    cfg = SceneSynthConfig(resolution=(48, 64), border_check=False)
+    rec = BatchedSceneRecorder(
+        db, cfg, seed=2, batch_scenes=8, shadow_size=48,
+    )
+    groups = rec.record_multiview(n_scenes=2, n_views=4, min_views=2)
+    assert len(groups) == 2
+    for views in groups:
+        assert len(views) >= 2
+        world = {}
+        for f in views:
+            for lbl, tco in zip(f.labels, f.TCO):
+                two = f.TWC @ tco
+                if lbl in world:
+                    np.testing.assert_allclose(
+                        two, world[lbl], atol=1e-4
+                    )
+                else:
+                    world[lbl] = two
