@@ -19,6 +19,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -278,6 +280,11 @@ def nms_fixed(
     return keep, kv
 
 
+@partial(
+    jax.jit,
+    static_argnames=("score_threshold", "iou_threshold", "pre_nms_topk",
+                     "max_detections", "mask_threshold"),
+)
 def detector_postprocess(
     out: DetectorOutputs,
     score_threshold: float = 0.3,
