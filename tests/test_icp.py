@@ -67,7 +67,10 @@ def test_icp_recovers_offset():
 import pytest
 
 
-@pytest.mark.parametrize("refiner_name", ["icp", "teaserpp"])
+@pytest.mark.parametrize(
+    "refiner_name",
+    ["icp", pytest.param("teaserpp", marks=pytest.mark.slow)],  # ~11 s
+)
 def test_pipeline_depth_refiner_integration(refiner_name):
     """run_inference_pipeline with run_depth_refiner=True must improve the
     final pose using the observed depth (both refiner backends)."""

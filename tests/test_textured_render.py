@@ -170,6 +170,8 @@ class TestReferenceFixtureParity:
     def test_probes_xla(self):
         self._run(render_batch)
 
+    @pytest.mark.slow  # ~18 s; the interpret-mode kernel branches stay
+    # pinned in the default lane by tests/test_rasterizer_pallas.py
     def test_probes_pallas(self):
         self._run(
             lambda *a, **k: render_batch_pallas(*a, interpret=True, **k)
