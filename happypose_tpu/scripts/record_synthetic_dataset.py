@@ -34,6 +34,10 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--models-dir", type=Path, default=None,
                    help="BOP models dir; defaults to built-in debug meshes")
+    p.add_argument("--builtin-set", choices=("debug", "r03"), default="debug",
+                   help="built-in object set when --models-dir is absent: "
+                        "'debug' (sphere+box) or 'r03' (4 objects incl. the "
+                        "reference's shipped bottle mesh, decimated)")
     p.add_argument("--out-dir", type=Path, required=True)
     p.add_argument("--n-frames", type=int, default=20)
     p.add_argument("--n-objects-interval", type=int, nargs=2, default=(2, 4))
@@ -69,13 +73,40 @@ def main(argv=None) -> int:
     from happypose_tpu.datasets.scene_synth import SceneSynthConfig
     from happypose_tpu.meshes.database import MeshDataBase
     from happypose_tpu.meshes.io import (
-        decimate_mesh, make_box_mesh, make_random_texture, make_uv_sphere,
+        decimate_mesh, load_mesh, make_box_mesh, make_cylinder_mesh,
+        make_random_texture, make_uv_sphere, position_colored,
     )
 
     if args.models_dir:
         from happypose_tpu.datasets.bop import BOPObjectDataset
 
         mesh_db = BOPObjectDataset(args.models_dir).mesh_db
+    elif args.builtin_set == "r03":
+        # Round-3 training object set (TRAINING_NOTES.md "Round-3
+        # dataset"): 4 objects with rotation-observable appearance —
+        # textured UV sphere, position-colored box + cylinder, and the
+        # reference's shipped bottle mesh (mm units) decimated to the
+        # tile-major kernel budget with a procedural texture over its
+        # shipped UVs.
+        rs = np.random.RandomState(args.seed + 101)
+        sphere = make_uv_sphere(0.04, 24, 32, with_uv=True)
+        sphere.texture = make_random_texture(rs, 128)
+        meshes = {
+            "obj_000001": sphere,
+            "obj_000002": position_colored(
+                make_box_mesh((0.035, 0.025, 0.045))),
+            "obj_000003": position_colored(
+                make_cylinder_mesh(0.022, 0.07)),
+        }
+        scales = {}
+        bottle = Path("/root/reference/tests/data/obj_000001.ply")
+        if bottle.is_file():
+            m = decimate_mesh(load_mesh(bottle), 1700)
+            if m.vertex_uv is not None:
+                m.texture = make_random_texture(rs, 128)
+            meshes["obj_000004"] = m
+            scales["obj_000004"] = 0.001
+        mesh_db = MeshDataBase(meshes=meshes, scales=scales)
     else:
         mesh_db = MeshDataBase(meshes={
             # dense enough that baked vertex colors (write_bop_models)
