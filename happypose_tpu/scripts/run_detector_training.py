@@ -38,6 +38,11 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--fpn-channels", type=int, default=64)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--save-every", type=int, default=5,
+                   help="epochs between checkpoint writes (a ResNet50-FPN "
+                        "checkpoint is ~120 MB; per-epoch writes cost as "
+                        "much wall-clock as the epoch itself); the final "
+                        "epoch always saves")
     p.add_argument("--eval-interval", type=int, default=0,
                    help="every N epochs, log detection mAP on a few "
                         "training frames (0 = off); the analog of the "
@@ -58,7 +63,9 @@ def main(argv=None) -> int:
     )
     from happypose_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
-    scene_ds = BOPSceneDataset(args.split_dir)
+    # cache_frames: decoded-PNG RAM cache — batch building through the
+    # remote-TPU tunnel is host-bound without it (TRAINING_NOTES r2)
+    scene_ds = BOPSceneDataset(args.split_dir, cache_frames=True)
     if args.models_dir:
         obj_ds = BOPObjectDataset(args.models_dir)
         labels = obj_ds.labels
@@ -201,7 +208,9 @@ def main(argv=None) -> int:
         if "mAP@0.5" in rec:
             msg += f" mAP@0.5={rec['mAP@0.5']:.3f}"
         logger.info(msg)
-        save_checkpoint(args.run_dir, state, epoch + 1, config=vars(args))
+        if (epoch + 1) % args.save_every == 0 or epoch + 1 == args.epochs:
+            save_checkpoint(args.run_dir, state, epoch + 1,
+                            config=vars(args))
     return 0
 
 
