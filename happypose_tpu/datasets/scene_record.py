@@ -408,7 +408,7 @@ class BatchedSceneRecorder:
         objects. Array swap only — no recompilation."""
         from happypose_tpu.meshes.io import make_random_texture
 
-        tex = np.asarray(self.assets.textures)
+        tex = np.array(self.assets.textures)  # np.asarray of a jax array is read-only
         T = tex.shape[1]
         ht = np.asarray(self.assets.has_texture)
         for i, label in enumerate(self.render_db.labels):
