@@ -65,6 +65,11 @@ def main(argv=None) -> int:
     p.add_argument("--image-size", type=int, nargs=2, default=(120, 160))
     p.add_argument("--eval-every", type=int, default=0,
                    help="epochs between in-training refiner evals (0=off)")
+    p.add_argument("--save-every", type=int, default=10,
+                   help="epochs between checkpoint writes (a 134MB state "
+                        "costs seconds of wall per write through "
+                        "device_get + 2x disk; the final epoch always "
+                        "saves)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dp", action="store_true", help="data-parallel mesh")
     p.add_argument("--bf16", action="store_true")
@@ -249,8 +254,9 @@ def main(argv=None) -> int:
             f.write(json.dumps(avg) + "\n")
         logger.info(f"epoch {epoch}: loss={avg['loss']:.4f} "
                     f"({avg['time']:.1f}s)")
-        save_checkpoint(args.run_dir, state, epoch + 1,
-                        config=vars(args) | {"cfg": str(cfg)})
+        if (epoch + 1) % args.save_every == 0 or epoch + 1 == args.epochs:
+            save_checkpoint(args.run_dir, state, epoch + 1,
+                            config=vars(args) | {"cfg": str(cfg)})
     return 0
 
 
