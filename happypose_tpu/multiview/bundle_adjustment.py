@@ -143,10 +143,21 @@ class MultiviewRefinement:
             z = lambda x, fill: jnp.concatenate(
                 [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]
             ) if pad else x
-            self._sh_points = z(self.cand_points, 0.0)
-            self._sh_v_idx = z(self.v_idx, 0)
-            self._sh_o_idx = z(self.o_idx, 0)
-            self._sh_weight = z(self.cand_weight, 0.0)
+            # place every candidate-axis tensor with its final sharding ONCE
+            # — passing unsharded arrays into a P(axis) shard_map makes
+            # GSPMD replicate-then-partition them on every LM step (the
+            # "Involuntary full rematerialization" warning)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._sh_spec = NamedSharding(
+                self.device_mesh,
+                PartitionSpec(self.device_mesh.axis_names[0]),
+            )
+            put = lambda x: jax.device_put(x, self._sh_spec)
+            self._sh_points = put(z(self.cand_points, 0.0))
+            self._sh_v_idx = put(z(self.v_idx, 0))
+            self._sh_o_idx = put(z(self.o_idx, 0))
+            self._sh_weight = put(z(self.cand_weight, 0.0))
             self._sh_pad = pad
 
     # -------------------- residuals --------------------
@@ -349,7 +360,6 @@ class MultiviewRefinement:
         h = self._schur_reduce_solve(U, V, W, b_o, b_v, lambd)
         return self._apply_step(params, h, loss_sum)
 
-    @partial(jax.jit, static_argnames=("self",))
     def _lm_step_schur_sharded(
         self, params, T_target, lambd, residuals_threshold
     ):
@@ -358,20 +368,36 @@ class MultiviewRefinement:
         the [n_obj|n_views]-sized U/V/W/b blocks are psum'd over the mesh
         axis (ICI collectives on hardware), and the small reduced camera
         solve runs replicated. Numerically identical to `_lm_step_schur`
-        for any device count (tests/test_ba_schur.py)."""
-        from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        for any device count (tests/test_ba_schur.py).
 
-        mesh = self.device_mesh
-        axis = mesh.axis_names[0]
+        The candidate-axis inputs are padded + device_put with their
+        P(axis) sharding OUTSIDE the jit (here and in __post_init__), so
+        GSPMD never has to replicate-and-repartition per LM step."""
         pad = self._sh_pad
         # padding target poses sit 1 m in front of the camera: their
         # residuals are finite (project_points divides by z) and their
         # zero weight removes them from every block sum
-        T_pad = jnp.eye(4).at[2, 3].set(1.0)
-        T_t = jnp.concatenate(
-            [T_target, jnp.broadcast_to(T_pad, (pad, 4, 4))]
-        ) if pad else T_target
+        if pad:
+            T_pad = jnp.eye(4).at[2, 3].set(1.0)
+            T_t = jnp.concatenate(
+                [T_target, jnp.broadcast_to(T_pad, (pad, 4, 4))]
+            )
+        else:
+            T_t = T_target
+        T_t = jax.device_put(T_t, self._sh_spec)
+        return self._lm_step_schur_sharded_jit(
+            params, T_t, lambd, residuals_threshold
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _lm_step_schur_sharded_jit(
+        self, params, T_t, lambd, residuals_threshold
+    ):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.device_mesh
+        axis = mesh.axis_names[0]
 
         def local(o_idx, v_idx, pts, weight, T_t_local):
             U, V, W, b_o, b_v, loss_sum = self._cand_blocks(

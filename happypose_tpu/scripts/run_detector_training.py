@@ -208,7 +208,8 @@ def main(argv=None) -> int:
         if "mAP@0.5" in rec:
             msg += f" mAP@0.5={rec['mAP@0.5']:.3f}"
         logger.info(msg)
-        if (epoch + 1) % args.save_every == 0 or epoch + 1 == args.epochs:
+        if (args.save_every and (epoch + 1) % args.save_every == 0) \
+                or epoch + 1 == args.epochs:
             save_checkpoint(args.run_dir, state, epoch + 1,
                             config=vars(args))
     return 0

@@ -69,7 +69,15 @@ def main(argv=None) -> int:
                    help="epochs between checkpoint writes (a 134MB state "
                         "costs seconds of wall per write through "
                         "device_get + 2x disk; the final epoch always "
-                        "saves)")
+                        "saves; 0 = final epoch only)")
+    p.add_argument("--stream", action="store_true",
+                   help="stream training frames from WDS tar shards "
+                        "(<data>/*.tar or <data>/wds/) through a chunked "
+                        "device cache + host prefetch thread — removes "
+                        "the whole-split HBM cap (ref: train_megapose "
+                        "webdataset pipeline)")
+    p.add_argument("--stream-chunk", type=int, default=512,
+                   help="frames per streamed device chunk")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dp", action="store_true", help="data-parallel mesh")
     p.add_argument("--bf16", action="store_true")
@@ -116,22 +124,43 @@ def main(argv=None) -> int:
                     renderer="pallas" if on_tpu else "reference",
                 )
     else:
-        from happypose_tpu.datasets.bop import (
-            BOPObjectDataset, BOPSceneDataset,
-        )
-        from happypose_tpu.datasets.pose_dataset import PoseDataset
+        from happypose_tpu.datasets.bop import BOPObjectDataset
 
         obj_ds = BOPObjectDataset(args.models_dir)
         mesh_db = obj_ds.mesh_db
-        scene_ds = BOPSceneDataset(args.data, cache_frames=True)
-        pose_ds = PoseDataset(
-            scene_ds, mesh_db, batch_size=args.batch_size,
-            resolution=tuple(args.image_size),
-            # uint8 240x320 frames are 230 KB each -> 4096 frames ~ 1 GB
-            # of HBM, well within v5e; the device cache removes the
-            # 30 MB/batch host->device staging (TRAINING_NOTES r2)
-            device_cache=len(scene_ds) <= 4400,
+        data_dir = Path(args.data)
+        wds_dir = (
+            data_dir if list(data_dir.glob("*.tar"))
+            else data_dir / "wds" if (data_dir / "wds").is_dir()
+            else None
         )
+        if wds_dir is not None and args.stream:
+            # streaming WDS input: chunked device cache + host prefetch
+            # thread — the reference's webdataset DataLoader path
+            # (train_megapose.py:96-229), unbounded dataset size
+            from happypose_tpu.datasets.streaming_pose_dataset import (
+                StreamingPoseDataset,
+            )
+
+            pose_ds = StreamingPoseDataset(
+                str(wds_dir), mesh_db, batch_size=args.batch_size,
+                resolution=tuple(args.image_size),
+                chunk_frames=args.stream_chunk,
+            )
+            logger.info(f"streaming WDS input from {wds_dir}")
+        else:
+            from happypose_tpu.datasets.bop import BOPSceneDataset
+            from happypose_tpu.datasets.pose_dataset import PoseDataset
+
+            scene_ds = BOPSceneDataset(args.data, cache_frames=True)
+            pose_ds = PoseDataset(
+                scene_ds, mesh_db, batch_size=args.batch_size,
+                resolution=tuple(args.image_size),
+                # uint8 240x320 frames are 230 KB each -> 4096 frames ~
+                # 1 GB of HBM, well within v5e; the device cache removes
+                # the 30 MB/batch host->device staging (TRAINING_NOTES r2)
+                device_cache=len(scene_ds) <= 4400,
+            )
         it = iter(pose_ds)
 
         def batches(epoch):
@@ -254,7 +283,8 @@ def main(argv=None) -> int:
             f.write(json.dumps(avg) + "\n")
         logger.info(f"epoch {epoch}: loss={avg['loss']:.4f} "
                     f"({avg['time']:.1f}s)")
-        if (epoch + 1) % args.save_every == 0 or epoch + 1 == args.epochs:
+        if (args.save_every and (epoch + 1) % args.save_every == 0) \
+                or epoch + 1 == args.epochs:
             save_checkpoint(args.run_dir, state, epoch + 1,
                             config=vars(args) | {"cfg": str(cfg)})
     return 0

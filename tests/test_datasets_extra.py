@@ -253,3 +253,36 @@ def test_pose_dataset_device_cache_matches_host_path(tmp_path):
     np.testing.assert_allclose(
         np.asarray(a.images), np.asarray(b.images), atol=1e-6
     )
+
+
+class TestStreamingPoseDataset:
+    def test_streams_batches(self, tmp_path):
+        from happypose_tpu.datasets.streaming_pose_dataset import (
+            StreamingPoseDataset,
+        )
+        from happypose_tpu.meshes.database import MeshDataBase
+        from happypose_tpu.meshes.io import make_box_mesh
+
+        obs = []
+        for i in range(8):
+            o = _make_obs(i)
+            # a reachable pose in front of the camera
+            o.TWO[0][:3, 3] = [0.0, 0.0, 0.5]
+            obs.append(o)
+        write_scene_ds_as_wds(obs, tmp_path, shard_size=3)
+        db = MeshDataBase(meshes={"obj_000001": make_box_mesh((0.04, 0.04, 0.04))})
+        ds = StreamingPoseDataset(
+            str(tmp_path), db, batch_size=4, resolution=(24, 32),
+            chunk_frames=4, prefetch_chunks=1,
+        )
+        it = iter(ds)
+        batches = [next(it) for _ in range(4)]
+        ds.stop()
+        for b in batches:
+            assert b.images.shape == (4, 3, 24, 32)
+            assert b.K.shape == (4, 3, 3)
+            assert b.obj_ids.shape == (4,)
+            assert b.TCO_gt.shape == (4, 4, 4)
+        # more than one chunk consumed across 4 batches of 4 from
+        # 4-frame chunks (one sample per frame)
+        assert float(jnp.abs(batches[0].images).max()) > 0
