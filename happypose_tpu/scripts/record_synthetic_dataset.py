@@ -59,6 +59,13 @@ def main(argv=None) -> int:
     p.add_argument("--randomize-object-textures", action="store_true",
                    help="re-randomize object textures every device batch "
                         "(appearance DR; canonical models keep their own)")
+    p.add_argument("--blur-sigma-max", type=float, default=None,
+                   help="cap the per-scene depth-of-field blur sigma "
+                        "(default keeps the config interval; 0 disables — "
+                        "at 120x160 training resolution the default 1.2px "
+                        "blur erases small-object texture detail)")
+    p.add_argument("--noise-std-max", type=float, default=None,
+                   help="cap the per-scene sensor-noise std (0 disables)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--write-models", action="store_true",
                    help="also write <out-dir>/models in BOP layout")
@@ -140,6 +147,10 @@ def main(argv=None) -> int:
         border_check=not args.no_border_check,
         domain_randomization=not args.no_domain_rand,
     )
+    if args.blur_sigma_max is not None:
+        cfg.blur_sigma_interval = (0.0, args.blur_sigma_max)
+    if args.noise_std_max is not None:
+        cfg.noise_std_interval = (0.0, args.noise_std_max)
     rec = BatchedSceneRecorder(
         mesh_db, cfg, seed=args.seed, batch_scenes=args.batch_scenes,
         floor=not args.no_floor, shadows=not args.no_shadows,

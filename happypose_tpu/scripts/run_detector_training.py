@@ -49,6 +49,11 @@ def main(argv=None) -> int:
                         "reference's in-training COCO eval "
                         "(train_detector.py:119-386)")
     p.add_argument("--eval-frames", type=int, default=8)
+    p.add_argument("--no-augment", action="store_true",
+                   help="disable the observed-image jitter augmentation "
+                        "(brightness/contrast/saturation/blur, the "
+                        "reference's Pillow pipeline on detector inputs, "
+                        "train_detector.py via PoseDataset-style augs)")
     args = p.parse_args(argv)
 
     import jax
@@ -188,12 +193,18 @@ def main(argv=None) -> int:
                 )
         return meter.summary()["mAP"]
 
+    from happypose_tpu.datasets.augmentations import rgb_jitter
+
+    aug_key = jax.random.PRNGKey(7)
     args.run_dir.mkdir(parents=True, exist_ok=True)
     for epoch in range(start_epoch, args.epochs):
         t0_ = time.time()
         losses = []
         for _ in range(args.epoch_size // args.batch_size):
             x, targets = make_batch(rng)
+            if not args.no_augment:
+                aug_key, k1 = jax.random.split(aug_key)
+                x = rgb_jitter(k1, x)
             state, loss, parts = step(state, x, targets)
             losses.append(float(loss))
         rec = {

@@ -70,6 +70,9 @@ def main(argv=None) -> int:
                         "costs seconds of wall per write through "
                         "device_get + 2x disk; the final epoch always "
                         "saves; 0 = final epoch only)")
+    p.add_argument("--no-augment", action="store_true",
+                   help="disable observed-image jitter augmentation in "
+                        "split training (PoseDataset rgb_jitter)")
     p.add_argument("--stream", action="store_true",
                    help="stream training frames from WDS tar shards "
                         "(<data>/*.tar or <data>/wds/) through a chunked "
@@ -79,6 +82,11 @@ def main(argv=None) -> int:
     p.add_argument("--stream-chunk", type=int, default=512,
                    help="frames per streamed device chunk")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init-from", type=Path, default=None,
+                   help="warm-start weights from another run dir's "
+                        "checkpoint (the reference's run_id_pretrain, "
+                        "train_megapose.py:245-249); optimizer state and "
+                        "epoch counter start fresh")
     p.add_argument("--dp", action="store_true", help="data-parallel mesh")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--profile", action="store_true",
@@ -146,6 +154,7 @@ def main(argv=None) -> int:
                 str(wds_dir), mesh_db, batch_size=args.batch_size,
                 resolution=tuple(args.image_size),
                 chunk_frames=args.stream_chunk,
+                apply_rgb_augmentation=not args.no_augment,
             )
             logger.info(f"streaming WDS input from {wds_dir}")
         else:
@@ -160,6 +169,7 @@ def main(argv=None) -> int:
                 # 1 GB of HBM, well within v5e; the device cache removes
                 # the 30 MB/batch host->device staging (TRAINING_NOTES r2)
                 device_cache=len(scene_ds) <= 4400,
+                apply_rgb_augmentation=not args.no_augment,
             )
         it = iter(pose_ds)
 
@@ -202,6 +212,12 @@ def main(argv=None) -> int:
         lr=args.lr, n_warmup_steps=args.n_warmup_steps,
         total_steps=total_steps,
     )
+    if args.init_from is not None:
+        variables, pre_epoch = load_checkpoint(args.init_from, variables)
+        logger.info(
+            f"warm-started weights from {args.init_from} "
+            f"(epoch {pre_epoch})"
+        )
     state = TrainState.create(variables, tx)
     start_epoch = 0
     if args.resume and (args.run_dir / "checkpoint.msgpack").exists():

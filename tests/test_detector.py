@@ -46,24 +46,29 @@ def detector():
                          head_depth=1)
     model = FCOSDetector(cfg)
     imgs = jnp.zeros((1, 3, H, W))
-    variables = model.init(jax.random.PRNGKey(0), imgs, train=False)
+    # jitted init: eager tracing is the old 30 s fixture cost
+    variables = jax.jit(
+        lambda k, x: model.init(k, x, train=False)
+    )(jax.random.PRNGKey(0), imgs)
     return cfg, model, variables
 
 
 def test_forward_shapes(detector):
     cfg, model, variables = detector
-    imgs = jnp.zeros((2, 3, H, W))
+    # batch 1 (same shape as the fixture init - a second batch size would
+    # compile a second trace; this is the only default-lane detector test)
+    imgs = jnp.zeros((1, 3, H, W))
     out = model.apply(variables, imgs, train=False)
     # pyramid levels for 128: 16x16 + 8x8 + 4x4 + 2x2 + 1x1 = 341
     L = 16 * 16 + 8 * 8 + 4 * 4 + 2 * 2 + 1
-    assert out.cls_logits.shape == (2, L, 2)
-    assert out.box_reg.shape == (2, L, 4)
+    assert out.cls_logits.shape == (1, L, 2)
+    assert out.box_reg.shape == (1, L, 4)
     assert (np.asarray(out.box_reg) > 0).all()  # exp-parametrized distances
-    assert out.prototypes.shape[0] == 2 and out.prototypes.shape[-1] == 8
+    assert out.prototypes.shape[0] == 1 and out.prototypes.shape[-1] == 8
     assert out.locations.shape == (L, 2)
     post = detector_postprocess(out, score_threshold=0.0, max_detections=8)
-    assert post["boxes"].shape == (2, 8, 4)
-    assert post["masks"].shape[:2] == (2, 8)
+    assert post["boxes"].shape == (1, 8, 4)
+    assert post["masks"].shape[:2] == (1, 8)
 
 
 @pytest.mark.slow
