@@ -79,7 +79,9 @@ def breakdown():
     )
     t_crop = _timed(
         lambda: crop_images_matmul(
-            images, boxes, output_size=(240, 320), sampling_ratio=4
+            images, boxes, output_size=(240, 320), sampling_ratio=4,
+            # measure the dtype the model path actually uses on TPU
+            matmul_dtype=jnp.bfloat16 if on_tpu else None,
         )
     )
     cfg = PosePredictorConfig(

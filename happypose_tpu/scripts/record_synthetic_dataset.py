@@ -72,6 +72,9 @@ def main(argv=None) -> int:
     p.add_argument("--wds", action="store_true",
                    help="also write <out-dir>/wds tar shards (the training "
                         "pipeline's streaming format, ref WebSceneDataset)")
+    p.add_argument("--wds-only", action="store_true",
+                   help="write ONLY the wds shards (no BOP png tree) - "
+                        "for large streaming-training recordings")
     p.add_argument("--shard-size", type=int, default=64)
     args = p.parse_args(argv)
 
@@ -168,8 +171,9 @@ def main(argv=None) -> int:
             TWO=f.TCO, bboxes=f.bboxes, visib_fract=f.visib_fract,
             scene_id=0, view_id=len(frames), TWC=f.TWC,
         ))
-    write_bop_scene(args.out_dir, 0, frames)
-    if args.wds:
+    if not args.wds_only:
+        write_bop_scene(args.out_dir, 0, frames)
+    if args.wds or args.wds_only:
         from happypose_tpu.datasets.web_scene_dataset import (
             write_scene_ds_as_wds,
         )
