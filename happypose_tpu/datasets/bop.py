@@ -252,9 +252,12 @@ def write_bop_models(models_dir: Union[str, Path], mesh_db) -> None:
     info = {}
     for label in mesh_db.labels:
         obj_id = int(label.split("_")[-1])
-        # bake textures to vertex colors so the written PLY keeps the
-        # object's appearance (save_ply has no UV/texture columns)
-        mesh = mesh_db.meshes[label].with_baked_texture()
+        # textured meshes are written as BOP TextureFile PLYs (+ png next
+        # to them) — baking to vertex colors (the pre-round-4 behavior)
+        # is lossy at exactly the texture-detail frequencies rotation
+        # learning needs, and broke observed-vs-rendered correspondence
+        # whenever recording and training resolved textures differently
+        mesh = mesh_db.meshes[label]
         scale = mesh_db.scales.get(label, 1.0) * 1000.0
         save_ply(
             models_dir / f"obj_{obj_id:06d}.ply",
@@ -262,6 +265,8 @@ def write_bop_models(models_dir: Union[str, Path], mesh_db) -> None:
                 vertices=mesh.vertices * scale,
                 faces=mesh.faces,
                 vertex_colors=mesh.vertex_colors,
+                vertex_uv=mesh.vertex_uv,
+                texture=mesh.texture,
             ),
         )
         entry = {"diameter": float(mesh.diameter * scale)}

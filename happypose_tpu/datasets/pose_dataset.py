@@ -65,15 +65,26 @@ class PoseDataset:
         return out
 
     def _build_device_cache(self):
-        """[N, H, W, 3] uint8 device tensor of all frames (or None)."""
+        """[N, H, W, 3] uint8 device tensor of all frames (or None).
+
+        Uploaded in slices: a single ~1 GB host->device RPC has proven
+        to wedge the remote-TPU tunnel; 128-frame (~30 MB) chunks are
+        reliable and concatenate on device."""
         n = len(self.scene_ds)
         shapes = {self.scene_ds[i].rgb.shape for i in range(min(n, 4))}
         if len(shapes) != 1:
             return None
-        frames = np.stack([self.scene_ds[i].rgb for i in range(n)])
-        if frames.dtype != np.uint8:
+        if self.scene_ds[0].rgb.dtype != np.uint8:
             return None
-        return jnp.asarray(frames)
+        parts = []
+        for s in range(0, n, 128):
+            chunk = np.stack([
+                self.scene_ds[i].rgb for i in range(s, min(s + 128, n))
+            ])
+            parts.append(jax.device_put(chunk))
+        out = jnp.concatenate(parts, axis=0)
+        out.block_until_ready()
+        return out
 
     def __iter__(self) -> Iterator[PoseTrainingBatch]:
         rng = np.random.RandomState(self.seed)

@@ -409,27 +409,59 @@ def load_obj(path: Union[str, Path]) -> Mesh:
 
 
 def save_ply(path: Union[str, Path], mesh: Mesh) -> None:
-    """Write binary little-endian PLY (with colors if present)."""
+    """Write binary little-endian PLY (with colors if present).
+
+    Textured meshes (vertex_uv + texture) are written in the BOP
+    `TextureFile` convention that `load_ply` reads back: texture_u/
+    texture_v vertex properties + a `comment TextureFile <name>` header,
+    with the texture image saved as a PNG next to the PLY. This keeps
+    full texture detail through a write/load round trip — baking to
+    vertex colors (the old behavior for BOP model export) is lossy at
+    exactly the surface-detail frequencies render-and-compare rotation
+    learning depends on."""
+    path = Path(path)
     v, f = mesh.vertices, mesh.faces
     has_c = mesh.vertex_colors is not None
+    has_uv = mesh.vertex_uv is not None and mesh.texture is not None
+    tex_name = None
+    if has_uv:
+        tex_name = path.stem + ".png"
+        from PIL import Image
+
+        # Mesh.texture row 0 is the TOP of the image (load side flips)
+        t8 = np.clip(mesh.texture * 255.0, 0, 255).astype(np.uint8)
+        Image.fromarray(t8).save(path.parent / tex_name)
     with open(path, "wb") as fh:
-        hdr = ["ply", "format binary_little_endian 1.0",
-               f"element vertex {len(v)}",
-               "property float x", "property float y", "property float z"]
+        hdr = ["ply", "format binary_little_endian 1.0"]
+        if has_uv:
+            hdr += [f"comment TextureFile {tex_name}"]
+        hdr += [f"element vertex {len(v)}",
+                "property float x", "property float y", "property float z"]
         if has_c:
             hdr += ["property uchar red", "property uchar green", "property uchar blue"]
+        if has_uv:
+            hdr += ["property float texture_u", "property float texture_v"]
         hdr += [f"element face {len(f)}",
                 "property list uchar int vertex_indices", "end_header", ""]
         fh.write("\n".join(hdr).encode())
+        fields = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
         if has_c:
-            c8 = np.clip(mesh.vertex_colors * 255.0, 0, 255).astype(np.uint8)
-            dt = np.dtype([("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
-                           ("r", "u1"), ("g", "u1"), ("b", "u1")])
-            arr = np.empty(len(v), dtype=dt)
-            arr["x"], arr["y"], arr["z"] = v[:, 0], v[:, 1], v[:, 2]
-            arr["r"], arr["g"], arr["b"] = c8[:, 0], c8[:, 1], c8[:, 2]
-        else:
+            fields += [("r", "u1"), ("g", "u1"), ("b", "u1")]
+        if has_uv:
+            fields += [("tu", "<f4"), ("tv", "<f4")]
+        if len(fields) == 3:
             arr = v.astype("<f4")
+        else:
+            arr = np.empty(len(v), dtype=np.dtype(fields))
+            arr["x"], arr["y"], arr["z"] = v[:, 0], v[:, 1], v[:, 2]
+            if has_c:
+                c8 = np.clip(
+                    mesh.vertex_colors * 255.0, 0, 255
+                ).astype(np.uint8)
+                arr["r"], arr["g"], arr["b"] = c8[:, 0], c8[:, 1], c8[:, 2]
+            if has_uv:
+                arr["tu"] = mesh.vertex_uv[:, 0]
+                arr["tv"] = mesh.vertex_uv[:, 1]
         fh.write(arr.tobytes())
         fdt = np.dtype([("n", "u1"), ("a", "<i4"), ("b", "<i4"), ("c", "<i4")])
         farr = np.empty(len(f), dtype=fdt)

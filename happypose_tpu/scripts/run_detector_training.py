@@ -92,9 +92,16 @@ def main(argv=None) -> int:
     if len(scene_ds) <= 4400:
         shapes = {scene_ds[i].rgb.shape for i in range(min(len(scene_ds), 4))}
         if len(shapes) == 1:
-            frames_dev = jnp.asarray(
-                np.stack([scene_ds[i].rgb for i in range(len(scene_ds))])
-            )
+            # sliced upload: one ~1 GB RPC can wedge the remote tunnel
+            n = len(scene_ds)
+            parts = [
+                jax.device_put(np.stack([
+                    scene_ds[i].rgb for i in range(s, min(s + 128, n))
+                ]))
+                for s in range(0, n, 128)
+            ]
+            frames_dev = jnp.concatenate(parts, axis=0)
+            frames_dev.block_until_ready()
 
     def make_batch(rng):
         imgs, Ks, boxes, lab, valid, fidx = [], [], [], [], [], []

@@ -160,3 +160,43 @@ class TestDecimation:
         b = np.asarray(out.mask[1])
         iou = (a & b).sum() / max((a | b).sum(), 1)
         assert iou > 0.9, iou
+
+
+def test_save_ply_texture_round_trip(tmp_path):
+    """Textured meshes survive a save/load round trip with full texture
+    detail (BOP TextureFile convention) - no vertex-color baking."""
+    import numpy as np
+
+    from happypose_tpu.meshes.io import (
+        load_mesh, make_random_texture, make_uv_sphere, save_ply,
+    )
+
+    rs = np.random.RandomState(3)
+    m = make_uv_sphere(0.04, 12, 16, with_uv=True)
+    m.texture = make_random_texture(rs, 64)
+    save_ply(tmp_path / "tex.ply", m)
+    assert (tmp_path / "tex.png").exists()
+    back = load_mesh(tmp_path / "tex.ply")
+    np.testing.assert_allclose(back.vertices, m.vertices, atol=1e-6)
+    np.testing.assert_allclose(back.vertex_uv, m.vertex_uv, atol=1e-6)
+    assert back.texture is not None
+    # uint8 png quantization only
+    np.testing.assert_allclose(back.texture, m.texture, atol=2.5 / 255.0)
+
+
+def test_write_bop_models_keeps_textures(tmp_path):
+    import numpy as np
+
+    from happypose_tpu.datasets.bop import BOPObjectDataset, write_bop_models
+    from happypose_tpu.meshes.database import MeshDataBase
+    from happypose_tpu.meshes.io import make_random_texture, make_uv_sphere
+
+    rs = np.random.RandomState(4)
+    s = make_uv_sphere(0.04, 12, 16, with_uv=True)
+    s.texture = make_random_texture(rs, 64)
+    db = MeshDataBase(meshes={"obj_000001": s})
+    write_bop_models(tmp_path / "models", db)
+    back = BOPObjectDataset(tmp_path / "models")
+    m = back.mesh_db.meshes["obj_000001"]
+    assert m.texture is not None and m.vertex_uv is not None
+    np.testing.assert_allclose(m.texture, s.texture, atol=2.5 / 255.0)
