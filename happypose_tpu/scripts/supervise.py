@@ -59,6 +59,11 @@ def main(argv=None) -> int:
     p.add_argument("--watch", type=Path, required=True,
                    help="file the job appends progress to")
     p.add_argument("--stall-seconds", type=float, default=300.0)
+    p.add_argument("--startup-grace-seconds", type=float, default=1500.0,
+                   help="stall threshold used until the watch file first "
+                        "CHANGES - setup (cache upload + remote compile) "
+                        "legitimately produces no progress for many "
+                        "minutes")
     p.add_argument("--max-restarts", type=int, default=8)
     p.add_argument("--probe-wait-seconds", type=float, default=1800.0,
                    help="max time to wait for device recovery per restart")
@@ -78,6 +83,7 @@ def main(argv=None) -> int:
         child = subprocess.Popen(cmd, start_new_session=True)
         last_size = _size(args.watch)
         last_change = time.time()
+        progressed = False  # watch file changed at least once this attempt
         stalled = False
         while True:
             try:
@@ -90,13 +96,18 @@ def main(argv=None) -> int:
             except subprocess.TimeoutExpired:
                 pass
             size = _size(args.watch)
+            limit = (
+                args.stall_seconds if progressed
+                else args.startup_grace_seconds
+            )
             if size != last_size:
                 last_size = size
                 last_change = time.time()
-            elif time.time() - last_change > args.stall_seconds:
+                progressed = True
+            elif time.time() - last_change > limit:
                 logger.warning(
                     f"no progress on {args.watch} for "
-                    f"{args.stall_seconds:.0f}s - killing pgid {child.pid}"
+                    f"{limit:.0f}s - killing pgid {child.pid}"
                 )
                 stalled = True
                 os.killpg(child.pid, signal.SIGKILL)
