@@ -31,6 +31,13 @@ def main(argv=None) -> int:
     p.add_argument("--n-iterations", type=int, default=3)
     p.add_argument("--image-size", type=int, nargs=2, default=(120, 160))
     p.add_argument("--seed", type=int, default=12345)
+    p.add_argument("--split-dir", type=Path, default=None,
+                   help="evaluate on a BOP split (held-out recorded "
+                        "frames) instead of synth scenes")
+    p.add_argument("--models-dir", type=Path, default=None,
+                   help="BOP models dir (required with --split-dir)")
+    p.add_argument("--out", type=Path, default=None,
+                   help="also write the summary json here")
     args = p.parse_args(argv)
 
     import jax
@@ -48,12 +55,30 @@ def main(argv=None) -> int:
     on_tpu = jax.default_backend() not in ("cpu",)
     renderer = "pallas" if on_tpu else "reference"
 
-    # rebuild the exact mesh registry the checkpoint was trained on
-    db = make_synth_mesh_db(
-        cfg_saved.get("synth_set", "debug"),
-        cfg_saved.get("mesh_files") or None,
-        max_faces=int(cfg_saved.get("max_faces") or 0),
-    )
+    split_batches = None
+    if args.split_dir is not None:
+        # held-out BOP split: refine noised GT of recorded frames
+        from happypose_tpu.datasets.bop import (
+            BOPObjectDataset, BOPSceneDataset,
+        )
+        from happypose_tpu.datasets.pose_dataset import PoseDataset
+
+        db = BOPObjectDataset(args.models_dir).mesh_db
+        scene_ds = BOPSceneDataset(args.split_dir, cache_frames=True)
+        pose_ds = PoseDataset(
+            scene_ds, db, batch_size=args.batch_size,
+            resolution=tuple(args.image_size),
+            apply_rgb_augmentation=False, seed=args.seed,
+        )
+        it = iter(pose_ds)
+        split_batches = lambda _b: next(it)
+    else:
+        # rebuild the exact mesh registry the checkpoint was trained on
+        db = make_synth_mesh_db(
+            cfg_saved.get("synth_set", "debug"),
+            cfg_saved.get("mesh_files") or None,
+            max_faces=int(cfg_saved.get("max_faces") or 0),
+        )
     assets = db.render_assets()
     bm = db.batched(n_points=256)
     H, W = args.image_size
@@ -66,10 +91,14 @@ def main(argv=None) -> int:
         compute_dtype="bfloat16" if cfg_saved.get("bf16") else "float32",
     )
     model = PosePredictor(cfg)
-    batch0 = make_synth_batch(
-        jax.random.PRNGKey(0), assets, K1, n_objects=len(db.labels),
-        batch_size=args.batch_size, resolution=(H, W), renderer=renderer,
-    )
+    if split_batches is not None:
+        batch0 = split_batches(0)
+    else:
+        batch0 = make_synth_batch(
+            jax.random.PRNGKey(0), assets, K1, n_objects=len(db.labels),
+            batch_size=args.batch_size, resolution=(H, W),
+            renderer=renderer,
+        )
     inst0 = bm.select(batch0.obj_ids)
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), batch0.images, batch0.K, batch0.obj_ids,
@@ -106,10 +135,14 @@ def main(argv=None) -> int:
              "add_after": []}
     for b in range(args.n_batches):
         rngs = jax.random.split(jax.random.PRNGKey(args.seed + b), 2)
-        batch = make_synth_batch(
-            rngs[0], assets, K1, n_objects=len(db.labels), batch_size=args.batch_size,
-            resolution=(H, W), renderer=renderer,
-        )
+        if split_batches is not None:
+            batch = split_batches(b)
+        else:
+            batch = make_synth_batch(
+                rngs[0], assets, K1, n_objects=len(db.labels),
+                batch_size=args.batch_size, resolution=(H, W),
+                renderer=renderer,
+            )
         TCO_init, TCO_ref = refine(batch, rngs[1])
         gt = batch.TCO_gt
         inst = bm.select(batch.obj_ids)
@@ -129,10 +162,18 @@ def main(argv=None) -> int:
                 )
             )
     summary = {k: float(np.concatenate(v).mean()) for k, v in stats.items()}
+    summary.update({
+        f"median_{k}": float(np.median(np.concatenate(v)))
+        for k, v in stats.items()
+    })
     summary["n_samples"] = args.n_batches * args.batch_size
     summary["n_iterations"] = args.n_iterations
+    summary["data"] = str(args.split_dir) if args.split_dir else "synth"
     logger.info(json.dumps(summary, indent=1))
     (args.run_dir / "refiner_eval.json").write_text(json.dumps(summary))
+    if args.out is not None:
+        args.out.parent.mkdir(parents=True, exist_ok=True)
+        args.out.write_text(json.dumps(summary, indent=1))
     return 0
 
 
