@@ -24,6 +24,9 @@ import numpy as np
 from happypose_tpu.datasets.bop import BOPSceneDataset, SceneObservation
 from happypose_tpu.datasets.samplers import DistributedSceneSampler
 from happypose_tpu.inference.pose_estimator import PoseEstimator
+from happypose_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
 from happypose_tpu.inference.types import DetectionBatch, ObservationBatch
 from happypose_tpu.meshes.database import MeshDataBase
 
@@ -142,6 +145,14 @@ class PredictionRunner:
                     "time": elapsed,
                 }
             )
+            n_done = len(out["final"])
+            if n_done % 8 == 0 or n_done == 1:
+                # the first frame's `elapsed` is dominated by compiles;
+                # log it so long quiet setups are diagnosable
+                logger.info(
+                    f"frame {n_done}: scene {obs.scene_id} view "
+                    f"{obs.view_id} in {elapsed:.1f}s"
+                )
         return out
 
 
