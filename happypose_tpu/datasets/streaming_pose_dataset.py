@@ -68,9 +68,20 @@ class StreamingPoseDataset:
     keep_labels: Optional[Sequence[str]] = None
     apply_rgb_augmentation: bool = True
     seed: int = 0
+    # per-__iter__ stop event (created fresh each iteration so the dataset
+    # is reusable); stop() flips the most recent one
     _stop: threading.Event = field(
         default_factory=threading.Event, repr=False
     )
+
+    def __post_init__(self):
+        from pathlib import Path
+
+        if not sorted(Path(self.shards_dir).glob("*.tar")):
+            raise FileNotFoundError(
+                f"no WDS *.tar shards in {self.shards_dir} — the underlying "
+                "shard stream would spin forever yielding nothing"
+            )
 
     def _valid_objects(self, obs) -> List[int]:
         if obs.obj_labels is None:
@@ -90,38 +101,48 @@ class StreamingPoseDataset:
             out.append(i)
         return out
 
-    def _decode_loop(self, out_q: "queue.Queue[_Chunk]"):
-        stream = iter(IterableWebSceneDataset(
-            self.shards_dir, buffer_size=max(32, self.chunk_frames // 4),
-            seed=self.seed,
-        ))
-        while not self._stop.is_set():
-            frames, sf, sK, so, sT = [], [], [], [], []
-            while len(frames) < self.chunk_frames and not self._stop.is_set():
-                obs = next(stream)
-                cand = self._valid_objects(obs)
-                if not cand:
-                    continue
-                fi = len(frames)
-                frames.append(obs.rgb)
-                for j in cand:
-                    sf.append(fi)
-                    sK.append(obs.K)
-                    so.append(self.mesh_db.id_of(obs.obj_labels[j]))
-                    sT.append(obs.TWO[j])
-            if self._stop.is_set():
-                return
-            chunk = _Chunk(
-                frames=np.stack(frames),
-                sample_frame=np.asarray(sf, np.int32),
-                sample_K=np.stack(sK).astype(np.float32),
-                sample_obj_id=np.asarray(so, np.int32),
-                sample_TCO=np.stack(sT).astype(np.float32),
-            )
-            while not self._stop.is_set():
+    def _decode_loop(self, out_q: "queue.Queue", stop: threading.Event):
+        try:
+            stream = iter(IterableWebSceneDataset(
+                self.shards_dir, buffer_size=max(32, self.chunk_frames // 4),
+                seed=self.seed,
+            ))
+            while not stop.is_set():
+                frames, sf, sK, so, sT = [], [], [], [], []
+                while len(frames) < self.chunk_frames and not stop.is_set():
+                    obs = next(stream)
+                    cand = self._valid_objects(obs)
+                    if not cand:
+                        continue
+                    fi = len(frames)
+                    frames.append(obs.rgb)
+                    for j in cand:
+                        sf.append(fi)
+                        sK.append(obs.K)
+                        so.append(self.mesh_db.id_of(obs.obj_labels[j]))
+                        sT.append(obs.TWO[j])
+                if stop.is_set():
+                    return
+                chunk = _Chunk(
+                    frames=np.stack(frames),
+                    sample_frame=np.asarray(sf, np.int32),
+                    sample_K=np.stack(sK).astype(np.float32),
+                    sample_obj_id=np.asarray(so, np.int32),
+                    sample_TCO=np.stack(sT).astype(np.float32),
+                )
+                while not stop.is_set():
+                    try:
+                        out_q.put(chunk, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as exc:  # noqa: BLE001 — re-raised in __iter__
+            # a corrupt tar member / mixed shapes / missing keys must not
+            # hang the consumer on q.get() forever: ship the exception
+            while not stop.is_set():
                 try:
-                    out_q.put(chunk, timeout=1.0)
-                    break
+                    out_q.put(exc, timeout=1.0)
+                    return
                 except queue.Full:
                     continue
 
@@ -131,14 +152,19 @@ class StreamingPoseDataset:
     def __iter__(self) -> Iterator[PoseTrainingBatch]:
         rng = np.random.RandomState(self.seed + 1)
         key = jax.random.PRNGKey(self.seed)
-        q: "queue.Queue[_Chunk]" = queue.Queue(maxsize=self.prefetch_chunks)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_chunks)
+        self._stop = stop = threading.Event()
         t = threading.Thread(
-            target=self._decode_loop, args=(q,), daemon=True
+            target=self._decode_loop, args=(q, stop), daemon=True
         )
         t.start()
         try:
             while True:
                 chunk = q.get()
+                if isinstance(chunk, BaseException):
+                    raise RuntimeError(
+                        "streaming decode thread failed"
+                    ) from chunk
                 frames_dev = jnp.asarray(chunk.frames)  # -> device, uint8
                 S = len(chunk.sample_frame)
                 n_batches = max(
@@ -167,4 +193,4 @@ class StreamingPoseDataset:
                         TCO_gt=jnp.asarray(chunk.sample_TCO[sel]),
                     )
         finally:
-            self._stop.set()
+            stop.set()

@@ -45,6 +45,28 @@ MSPD_THS = tuple(np.arange(5.0, 51.0, 5.0))  # θ for MSPD (×r, r=w/640)
 VISIB_GT_MIN = 0.1
 
 
+def _pair_bucket(n: int) -> int:
+    """Round a pair count up to a power-of-2 bucket (min 8).
+
+    The pairwise error kernels below are jitted with the pair axis as the
+    leading dim; without bucketing every image with a new (n_est x n_gt)
+    combination triggers a fresh XLA compile — on a remote-TPU tunnel that
+    turned round 4's 96-frame eval into 35-50 minutes of recompiles."""
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_pairs(x: np.ndarray, n_to: int) -> np.ndarray:
+    """Pad the leading axis to ``n_to`` by repeating the last row (keeps
+    values geometrically sane for the renderer; results are sliced off)."""
+    pad = n_to - len(x)
+    if pad <= 0:
+        return x
+    return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+
+
 @jax.jit
 def mssd_mspd_batch(
     TCO_pred: jax.Array,  # [N, 4, 4]
@@ -293,14 +315,20 @@ class Bop19Evaluator:
         }
         err_vsd = np.full((n_est, n_gt, len(VSD_TAUS)), np.inf)
         if len(pairs_p):
-            inst = self.meshes.select(
-                jnp.asarray(gt_obj_ids[pairs_g], jnp.int32)
-            )
-            Kb = np.broadcast_to(K, (len(pairs_p), 3, 3))
+            # pad the pair axis to a power-of-2 bucket so the jitted error
+            # kernels see a handful of shapes across a whole split instead
+            # of one per (n_est, n_gt) combination
+            n_pairs = len(pairs_p)
+            Nb = _pair_bucket(n_pairs)
+            ids_pad = _pad_pairs(gt_obj_ids[pairs_g], Nb)
+            pred_pad = _pad_pairs(np.asarray(TCO_pred)[pairs_p], Nb)
+            gt_pad = _pad_pairs(np.asarray(TCO_gt)[pairs_g], Nb)
+            inst = self.meshes.select(jnp.asarray(ids_pad, jnp.int32))
+            Kb = np.broadcast_to(K, (Nb, 3, 3))
             out = jax.device_get(
                 mssd_mspd_batch(
-                    jnp.asarray(TCO_pred[pairs_p], jnp.float32),
-                    jnp.asarray(TCO_gt[pairs_g], jnp.float32),
+                    jnp.asarray(pred_pad, jnp.float32),
+                    jnp.asarray(gt_pad, jnp.float32),
                     jnp.asarray(Kb, jnp.float32),
                     inst.points,
                     inst.points_mask,
@@ -308,22 +336,20 @@ class Bop19Evaluator:
                     inst.symmetries_mask,
                 )
             )
-            err_ms["mssd"][pairs_p, pairs_g] = out["mssd"]
-            err_ms["mspd"][pairs_p, pairs_g] = out["mspd"]
+            err_ms["mssd"][pairs_p, pairs_g] = out["mssd"][:n_pairs]
+            err_ms["mspd"][pairs_p, pairs_g] = out["mspd"][:n_pairs]
             if depth_test is not None and self.assets is not None:
                 e = vsd_batch(
-                    TCO_pred[pairs_p],
-                    TCO_gt[pairs_g],
-                    gt_obj_ids[pairs_g],
+                    pred_pad,
+                    gt_pad,
+                    ids_pad,
                     Kb,
-                    np.broadcast_to(
-                        depth_test, (len(pairs_p),) + depth_test.shape
-                    ),
+                    np.broadcast_to(depth_test, (Nb,) + depth_test.shape),
                     self.assets,
-                    diam[gt_obj_ids[pairs_g]],
+                    diam[ids_pad],
                     resolution=self.vsd_resolution,
                 )
-                err_vsd[pairs_p, pairs_g] = e
+                err_vsd[pairs_p, pairs_g] = e[:n_pairs]
 
         gt_diam = diam[gt_obj_ids][None, :]  # [1, n_gt]
         r = im_width / 640.0

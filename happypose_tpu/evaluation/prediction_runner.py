@@ -47,6 +47,7 @@ class PredictionRunner:
     one_instance_per_class: bool = False
     n_replicas: int = 1
     rank: int = 0
+    max_frames: Optional[int] = None  # truncate the split (smoke runs)
 
     def _detections_from_detector(
         self, obs: SceneObservation
@@ -116,12 +117,23 @@ class PredictionRunner:
         raise ValueError(self.detection_type)
 
     def get_predictions(self) -> Dict[str, List[dict]]:
-        """Returns {"final": [per-frame dicts], ...} with numpy results."""
+        """Returns {"final": [per-frame dicts], ...} with numpy results.
+
+        The result is cached on the runner: the full pipeline over the split
+        is the expensive part of an eval (round 4's two 35-50 min eval
+        attempts ran it TWICE — once for metrics, once for the BOP csv)."""
+        if getattr(self, "_cached_predictions", None) is not None:
+            return self._cached_predictions
         sampler = DistributedSceneSampler(
             len(self.scene_ds), self.n_replicas, self.rank, shuffle=False
         )
         out: Dict[str, List[dict]] = {"final": []}
         for idx in sampler:
+            if (
+                self.max_frames is not None
+                and len(out["final"]) >= self.max_frames
+            ):
+                break
             obs = self.scene_ds[idx]
             det = self._detections_for(obs)
             if det is None:
@@ -153,6 +165,7 @@ class PredictionRunner:
                     f"frame {n_done}: scene {obs.scene_id} view "
                     f"{obs.view_id} in {elapsed:.1f}s"
                 )
+        self._cached_predictions = out
         return out
 
 
@@ -167,7 +180,10 @@ def run_eval(
     If a `Bop19Evaluator` is passed, its official VSD/MSSD/MSPD recalls are
     merged into the summary (the reference gets these from the bop_toolkit
     subprocess, megapose/evaluation/bop.py:162-229)."""
+    t0 = time.time()
     preds = runner.get_predictions()
+    t_pred = time.time() - t0
+    t0 = time.time()
     frame_index = {
         (s, v): i for i, (s, v) in enumerate(runner.scene_ds.frames)
     }
@@ -200,7 +216,14 @@ def run_eval(
                 depth_test=obs.depth,
                 im_width=obs.rgb.shape[1],
             )
+    t_metrics = time.time() - t0
     summary = meter.summary()
     if bop19_evaluator is not None:
         summary.update(bop19_evaluator.summary())
+    summary["eval_seconds_predictions"] = t_pred
+    summary["eval_seconds_metrics"] = t_metrics
+    logger.info(
+        f"eval timing: predictions {t_pred:.1f}s, "
+        f"metrics (meter+bop19) {t_metrics:.1f}s"
+    )
     return summary

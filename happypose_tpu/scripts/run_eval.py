@@ -57,6 +57,8 @@ def main(argv=None) -> int:
                    metavar=("H", "W"), help="downscale VSD depth renders")
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--n-replicas", type=int, default=1)
+    p.add_argument("--max-frames", type=int, default=None,
+                   help="truncate the split (smoke runs / wall-time bounds)")
     args = p.parse_args(argv)
 
     from happypose_tpu.datasets.bop import BOPObjectDataset, BOPSceneDataset
@@ -142,6 +144,7 @@ def main(argv=None) -> int:
         detection_type=args.detections, rank=args.rank,
         n_replicas=args.n_replicas, detector=detector,
         detection_th=args.detection_th, external_detections=external,
+        max_frames=args.max_frames,
     )
     meter = PoseErrorMeter(
         meshes=estimator.meshes, is_symmetric=obj_ds.is_symmetric

@@ -142,6 +142,11 @@ def main(argv=None) -> int:
             else data_dir / "wds" if (data_dir / "wds").is_dir()
             else None
         )
+        if args.stream and wds_dir is None:
+            raise SystemExit(
+                f"--stream: no WDS *.tar shards under {data_dir} "
+                f"(or {data_dir / 'wds'})"
+            )
         if wds_dir is not None and args.stream:
             # streaming WDS input: chunked device cache + host prefetch
             # thread — the reference's webdataset DataLoader path
