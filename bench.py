@@ -175,7 +175,7 @@ def pipeline_bench(n_images: int = 8, so3_grid: int = 0):
 
     def one_image():
         detector.get_detections(obs, detection_th=0.3)
-        out = estimator.run_inference_pipeline(
+        out = estimator.run_inference_pipeline_jit(
             obs, det, n_refiner_iterations=5, n_pose_hypotheses=5
         )
         jax.block_until_ready(out["final"].poses)

@@ -55,6 +55,9 @@ class PredictionRunner:
         """Run the trained detector on the frame at its training resolution
         and map boxes back to the original image (the reference's
         `detection_type="detector"` path, prediction_runner.py:98-105)."""
+        import functools
+
+        import jax
         import jax.numpy as jnp
 
         from happypose_tpu.datasets.augmentations import crop_resize_to_aspect
@@ -64,7 +67,12 @@ class PredictionRunner:
             np.moveaxis(obs.rgb.astype(np.float32) / 255.0, -1, 0)[None]
         )
         K = jnp.asarray(obs.K[None].astype(np.float32))
-        x_r, K2 = crop_resize_to_aspect(x, K, (H, W))
+        crop_fn = getattr(self, "_crop_jit", None)
+        if crop_fn is None:
+            crop_fn = self._crop_jit = jax.jit(
+                functools.partial(crop_resize_to_aspect, target_hw=(H, W))
+            )
+        x_r, K2 = crop_fn(x, K)
         det, _ = self.detector.get_detections(
             ObservationBatch(rgb=x_r, K=K2),
             detection_th=self.detection_th,
@@ -143,7 +151,12 @@ class PredictionRunner:
                 obs.rgb, obs.K, depth=obs.depth
             )
             t0 = time.time()
-            results = self.estimator.run_inference_pipeline(obs_batch, det)
+            pipeline = (
+                self.estimator.run_inference_pipeline_jit
+                if self.estimator.device_mesh is None
+                else self.estimator.run_inference_pipeline
+            )
+            results = pipeline(obs_batch, det)
             final = results["final"]
             elapsed = time.time() - t0
             valid = np.asarray(final.valid)

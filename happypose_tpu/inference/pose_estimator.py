@@ -104,6 +104,7 @@ class PoseEstimator:
             and self.coarse_model.cfg.predict_rendered_views_logits
         )
         self._depth_refiners: Dict[tuple, object] = {}
+        self._pipeline_jit_cache: Dict[tuple, object] = {}
 
     # ------------------------------------------------------------------
     # MegaPose coarse: score detections x SO(3)-grid hypotheses
@@ -400,6 +401,61 @@ class PoseEstimator:
             results["depth_refined"] = final
         results["final"] = final
         return results
+
+    def run_inference_pipeline_jit(
+        self,
+        obs: ObservationBatch,
+        detections: DetectionBatch,
+        n_refiner_iterations: Optional[int] = None,
+        n_pose_hypotheses: Optional[int] = None,
+    ) -> Dict[str, PoseEstimateBatch]:
+        """`run_inference_pipeline` compiled into ONE XLA program.
+
+        The eager pipeline dispatches hundreds of small ops per frame; on a
+        remote-TPU tunnel (~50-300 ms per RPC) that costs ~40 s/image even
+        though the compute is ~2 s (measured round 5, bench --pipeline).
+        Here the whole frame — coarse grid scoring, top-K, refinement,
+        re-scoring, selection — traces once per (image shape, detection
+        count, iteration config) and each subsequent frame is a single
+        dispatch. Weights/assets/meshes are passed as arguments (not
+        captured) so they stage to HBM once instead of baking into the
+        executable. Not used when a device mesh shards the hypothesis axis
+        (that path jits inside `sharded_batch_apply`)."""
+        key = (
+            obs.rgb.shape,
+            None if obs.depth is None else obs.depth.shape,
+            detections.n_rows,
+            n_refiner_iterations,
+            n_pose_hypotheses,
+        )
+        fn = self._pipeline_jit_cache.get(key)
+        if fn is None:
+
+            def raw(rv, cv, assets, meshes, grid, obs_t, det_t):
+                saved = (
+                    self.refiner_vars, self.coarse_vars, self.assets,
+                    self.meshes, self.SO3_grid,
+                )
+                (
+                    self.refiner_vars, self.coarse_vars, self.assets,
+                    self.meshes, self.SO3_grid,
+                ) = (rv, cv, assets, meshes, grid)
+                try:
+                    return self.run_inference_pipeline(
+                        obs_t, det_t, n_refiner_iterations, n_pose_hypotheses
+                    )
+                finally:
+                    (
+                        self.refiner_vars, self.coarse_vars, self.assets,
+                        self.meshes, self.SO3_grid,
+                    ) = saved
+
+            fn = jax.jit(raw)
+            self._pipeline_jit_cache[key] = fn
+        return fn(
+            self.refiner_vars, self.coarse_vars, self.assets, self.meshes,
+            self.SO3_grid, obs, detections,
+        )
 
     def run_depth_refiner(
         self, obs: ObservationBatch, estimates: PoseEstimateBatch

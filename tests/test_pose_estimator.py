@@ -163,6 +163,35 @@ def test_megapose_multiple_detections(scene):
     assert set(winners.tolist()) == {db.id_of("box"), db.id_of("sphere")}
 
 
+def test_megapose_pipeline_jit_matches_eager(scene):
+    """The whole-pipeline jit (one XLA program per frame shape) must be
+    numerically identical to the eager orchestration it wraps."""
+    (refiner, rv), (coarse, cv) = _make_models(scene, coarse_classifier=True)
+    cfg = InferenceConfig(
+        n_refiner_iterations=1, SO3_grid_size=16, bsz_images=8, bsz_objects=2,
+        n_pose_hypotheses=2,
+    )
+    est = PoseEstimator(
+        refiner=(refiner, rv), coarse=(coarse, cv), assets=scene["assets"],
+        meshes=scene["bm"], cfg=cfg,
+    )
+    eager = est.run_inference_pipeline(scene["obs"], scene["det"])
+    jitted = est.run_inference_pipeline_jit(scene["obs"], scene["det"])
+    assert set(eager) == set(jitted)
+    for k in ("coarse", "final", "scored"):
+        np.testing.assert_allclose(
+            np.asarray(eager[k].poses), np.asarray(jitted[k].poses),
+            rtol=1e-5, atol=1e-5,
+        )
+        assert (
+            np.asarray(eager[k].valid) == np.asarray(jitted[k].valid)
+        ).all()
+    # second call with the same shapes must hit the jit cache
+    assert len(est._pipeline_jit_cache) == 1
+    est.run_inference_pipeline_jit(scene["obs"], scene["det"])
+    assert len(est._pipeline_jit_cache) == 1
+
+
 @pytest.mark.slow
 def test_load_named_model_registry(scene, monkeypatch):
     """NAMED_MODELS -> working estimator end-to-end (tiny grid)."""
