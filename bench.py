@@ -233,7 +233,9 @@ def _mesh_db(mesh_set: str):
     return MeshDataBase(meshes={"bop": m, "bop2": m}, scales=scales)
 
 
-def main(mesh_set: str = "debug"):
+def main(mesh_set: str = "debug", batch: int = B):
+    global B
+    B = batch
     from happypose_tpu.models import PosePredictor, PosePredictorConfig
 
     db = _mesh_db(mesh_set)
@@ -284,6 +286,8 @@ def main(mesh_set: str = "debug"):
     metric = "refiner_pose_iterations_per_sec_per_chip"
     if mesh_set != "debug":
         metric += f"_{mesh_set}"
+    if batch != 16:
+        metric += f"_b{batch}"
     print(
         json.dumps(
             {
@@ -310,4 +314,7 @@ if __name__ == "__main__":
         mesh_set = "debug"
         if "--mesh" in sys.argv:
             mesh_set = sys.argv[sys.argv.index("--mesh") + 1]
-        main(mesh_set)
+        batch = B
+        if "--batch" in sys.argv:
+            batch = int(sys.argv[sys.argv.index("--batch") + 1])
+        main(mesh_set, batch)

@@ -95,6 +95,16 @@ class PoseEstimator:
         self.coarse_model, self.coarse_vars = coarse if coarse else (None, None)
         self.assets = assets
         self.meshes = meshes
+        if device_mesh is None:
+            # commit weights/assets to the device ONCE: checkpoint loads
+            # hand back host numpy pytrees, and passing those to a jitted
+            # call re-stages them through the (remote-TPU) tunnel on EVERY
+            # frame — measured ~30 s/frame of pure transfer in round 5
+            (
+                self.refiner_vars, self.coarse_vars, self.assets, self.meshes,
+            ) = jax.device_put(
+                (self.refiner_vars, self.coarse_vars, self.assets, self.meshes)
+            )
         self.cfg = cfg
         self.device_mesh = device_mesh
         self.mesh_axis = mesh_axis

@@ -195,13 +195,14 @@ def replace_valid(pe: PoseEstimateBatch, valid: jax.Array) -> PoseEstimateBatch:
 class InferenceConfig:
     """Pipeline configuration (static).
 
-    Mirrors the reference defaults (inference/types.py:87-99): 5 refiner
-    iterations, SO(3) grid of 576, 1 kept pose hypothesis, chunked batching.
+    Mirrors the reference defaults (inference/types.py:88-99): 5 refiner
+    iterations, SO(3) grid of 576, 5 kept pose hypotheses (each refined,
+    then re-scored, then top-1), chunked batching.
     """
 
     n_refiner_iterations: int = 5
     n_coarse_iterations: int = 1  # CosyPose-style coarse
-    n_pose_hypotheses: int = 1
+    n_pose_hypotheses: int = 5
     SO3_grid_size: int = 576
     bsz_images: int = 288  # coarse hypotheses per forward chunk
     bsz_objects: int = 16  # refiner instances per forward chunk

@@ -47,6 +47,7 @@ def main(argv=None) -> int:
                         "detections to the per-frame best per target")
     p.add_argument("--so3-grid", type=int, default=None)
     p.add_argument("--n-refiner-iterations", type=int, default=None)
+    p.add_argument("--n-pose-hypotheses", type=int, default=None)
     p.add_argument("--checkpoints", type=Path, default=None,
                    help="dir containing refiner/ and coarse/ run dirs")
     p.add_argument("--out-dir", type=Path, required=True)
@@ -95,6 +96,10 @@ def main(argv=None) -> int:
     if args.n_refiner_iterations:
         icfg = dataclasses.replace(
             icfg, n_refiner_iterations=args.n_refiner_iterations
+        )
+    if args.n_pose_hypotheses:
+        icfg = dataclasses.replace(
+            icfg, n_pose_hypotheses=args.n_pose_hypotheses
         )
     NAMED_MODELS[args.model] = dataclasses.replace(spec, inference_cfg=icfg)
 
