@@ -165,6 +165,37 @@ class PoseEstimator:
             valid=valid,
         )
 
+    def forward_coarse_jit(
+        self, obs: ObservationBatch, detections: DetectionBatch
+    ) -> PoseEstimateBatch:
+        """`forward_coarse` as one compiled program per (image shape, D) —
+        same tunnel-RPC rationale as `run_inference_pipeline_jit`."""
+        key = ("coarse", obs.rgb.shape, detections.n_rows)
+        fn = self._pipeline_jit_cache.get(key)
+        if fn is None:
+
+            def raw(cv, assets, meshes, grid, obs_t, det_t):
+                saved = (
+                    self.coarse_vars, self.assets, self.meshes, self.SO3_grid,
+                )
+                (
+                    self.coarse_vars, self.assets, self.meshes, self.SO3_grid,
+                ) = (cv, assets, meshes, grid)
+                try:
+                    return self.forward_coarse(obs_t, det_t)
+                finally:
+                    (
+                        self.coarse_vars, self.assets, self.meshes,
+                        self.SO3_grid,
+                    ) = saved
+
+            fn = jax.jit(raw)
+            self._pipeline_jit_cache[key] = fn
+        return fn(
+            self.coarse_vars, self.assets, self.meshes, self.SO3_grid,
+            obs, detections,
+        )
+
     def _score_hypotheses(self, obs, K, obj_ids, im_ids, TCO) -> jax.Array:
         """Coarse-classifier scoring of [N] hypotheses: chunked serially by
         `bsz_images`, or device-parallel over the hypothesis axis when a

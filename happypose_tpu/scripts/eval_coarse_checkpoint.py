@@ -139,8 +139,13 @@ def main(argv=None) -> int:
             scores=jnp.ones((D,), jnp.float32),
             valid=jnp.ones((D,), bool),
         )
-        coarse = estimator.forward_coarse(ob, det)
-        logits = np.asarray(coarse.coarse_logits).reshape(D, M)
+        # pad to a fixed detection budget: ONE compiled coarse program for
+        # the whole split (per-frame D variation would compile one program
+        # per distinct D; measured 23 s/frame eager through the tunnel)
+        Dp = 8
+        det = DetectionBatch.pad(det, Dp)
+        coarse = estimator.forward_coarse_jit(ob, det)
+        logits = np.asarray(coarse.coarse_logits).reshape(Dp, M)[:D]
 
         for d, j in enumerate(keep):
             R_gt = obs.TWO[j][:3, :3]

@@ -2,6 +2,7 @@
 quaternion pose head."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -81,6 +82,7 @@ class TestObjectCenterDisentangled:
 
 
 class TestQuaternionHead:
+    @pytest.mark.slow  # full PosePredictor compile for a variant head
     def test_identity_init_and_forward(self):
         from happypose_tpu.meshes.database import MeshDataBase
         from happypose_tpu.meshes.io import make_box_mesh

@@ -168,7 +168,7 @@ def test_megapose_pipeline_jit_matches_eager(scene):
     numerically identical to the eager orchestration it wraps."""
     (refiner, rv), (coarse, cv) = _make_models(scene, coarse_classifier=True)
     cfg = InferenceConfig(
-        n_refiner_iterations=1, SO3_grid_size=16, bsz_images=8, bsz_objects=2,
+        n_refiner_iterations=1, SO3_grid_size=8, bsz_images=8, bsz_objects=2,
         n_pose_hypotheses=2,
     )
     est = PoseEstimator(
