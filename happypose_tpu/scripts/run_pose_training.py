@@ -56,6 +56,14 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--n-warmup-steps", type=int, default=50)
     p.add_argument("--n-iterations", type=int, default=1)
+    p.add_argument("--coarse-negatives", choices=["grid", "multiview"],
+                   default="grid",
+                   help="coarse-classifier negatives: random SO(3)-grid "
+                        "rotations sharing the positive's translation (the "
+                        "pipeline's actual scoring task; round-5 default) "
+                        "or the reference's sphere-26 multiview protocol")
+    p.add_argument("--coarse-hypotheses", type=int, default=8,
+                   help="hypotheses per sample for --coarse-negatives grid")
     p.add_argument("--add-iteration-epoch-interval", type=int, default=0,
                    help="add one refiner iteration every K epochs (up to "
                         "--n-iterations-max; curriculum of the reference, "
@@ -100,7 +108,7 @@ def main(argv=None) -> int:
         TrainState, make_optimizer, make_train_step,
     )
     from happypose_tpu.training.forward_loss import (
-        make_coarse_loss_fn, make_refiner_loss_fn,
+        make_coarse_grid_loss_fn, make_coarse_loss_fn, make_refiner_loss_fn,
     )
     from happypose_tpu.training.trainer import split_batch_for_mesh
     from happypose_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
@@ -201,6 +209,10 @@ def main(argv=None) -> int:
         if args.model_type == "refiner":
             return make_refiner_loss_fn(
                 model, assets, bm, n_iterations=n_iterations
+            )
+        if args.coarse_negatives == "grid":
+            return make_coarse_grid_loss_fn(
+                model, assets, bm, n_hypotheses=args.coarse_hypotheses
             )
         return make_coarse_loss_fn(model, assets, bm)
 

@@ -160,3 +160,129 @@ def make_coarse_loss_fn(
         return loss, ({"coarse_acc": acc}, new_state["batch_stats"])
 
     return loss_fn
+
+
+def sample_grid_hypotheses(
+    rng: jax.Array,
+    TCO_gt: jax.Array,  # [B, 4, 4]
+    symmetries: jax.Array,  # [B, S, 4, 4]
+    symmetries_mask: jax.Array,  # [B, S]
+    grid_R: jax.Array,  # [M, 3, 3]
+    n_hypotheses: int,
+    euler_deg_std=(15.0, 15.0, 15.0),
+    trans_std=(0.01, 0.01, 0.05),
+    rot_label_thresh_deg: float = 30.0,
+):
+    """Grid-negative hypothesis sampling for coarse-classifier training.
+
+    Slot 0 = noised gt; the rest are random SO(3)-grid rotations sharing
+    slot 0's translation — every hypothesis differs ONLY in rotation, so
+    the classifier cannot exploit translation-geometry shortcuts. Labels
+    are `angle_sym(R_hyp, R_gt) < rot_label_thresh_deg` where the angle is
+    the symmetry-aware geodesic distance.
+
+    Returns (hyp_TCO [B, n, 4, 4], labels [B, n] float, ang [B, n] rad).
+    """
+    from happypose_tpu.lib3d.transforms import make_T
+
+    B = TCO_gt.shape[0]
+    M = grid_R.shape[0]
+    k_noise, k_grid = jax.random.split(rng)
+    TCO_noise = add_pose_noise(
+        k_noise, TCO_gt, euler_deg_std=euler_deg_std, trans_std=trans_std
+    )
+    gidx = jax.random.randint(k_grid, (B, n_hypotheses - 1), 0, M)
+    R_neg = grid_R[gidx]  # [B, n-1, 3, 3]
+    t_shared = jnp.broadcast_to(
+        TCO_noise[:, None, :3, 3], (B, n_hypotheses - 1, 3)
+    )
+    T_neg = make_T(
+        R_neg.reshape(-1, 3, 3), t_shared.reshape(-1, 3),
+        dtype=TCO_noise.dtype,
+    ).reshape(B, n_hypotheses - 1, 4, 4)
+    hyp_TCO = jnp.concatenate([TCO_noise[:, None], T_neg], axis=1)
+
+    R_eq = jnp.einsum(
+        "bij,bsjk->bsik", TCO_gt[:, :3, :3], symmetries[..., :3, :3]
+    )  # [B, S, 3, 3]
+    tr = jnp.einsum("bnji,bsji->bns", hyp_TCO[:, :, :3, :3], R_eq)
+    ang = jnp.arccos(jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0))
+    ang = jnp.min(
+        jnp.where(symmetries_mask[:, None, :], ang, jnp.inf), axis=-1
+    )  # [B, n] radians
+    labels = (ang < jnp.deg2rad(rot_label_thresh_deg)).astype(jnp.float32)
+    return hyp_TCO, labels, ang
+
+
+def make_coarse_grid_loss_fn(
+    model: PosePredictor,
+    assets: RenderAssets,
+    meshes: BatchedMeshes,
+    n_hypotheses: int = 8,
+    euler_deg_std=(15.0, 15.0, 15.0),
+    trans_std=(0.01, 0.01, 0.05),
+    rot_label_thresh_deg: float = 30.0,
+    so3_grid_size: int = 576,
+):
+    """Coarse training against GRID-rotation negatives — the task the
+    inference pipeline actually runs (score detection x SO(3)-grid
+    hypotheses, pose_estimator.py:327-485).
+
+    Round-5 diagnosis: the reference-style multiview protocol
+    (`make_coarse_loss_fn`) lets the classifier exploit a translation-
+    geometry shortcut — sphere-view negatives place the object on-axis at
+    distance r while the positive keeps the original off-axis translation
+    — so a model with 0.77 in-training accuracy ranked the 576-grid at
+    CHANCE held-out (artifacts/COARSE_EVAL_r05.json). Here every
+    hypothesis shares the SAME noised translation and differs only in
+    rotation (slot 0 = noised gt, the rest random grid rotations), and
+    labels come from the symmetry-aware geodesic angle to gt
+    (< `rot_label_thresh_deg`), which is exactly the recall criterion the
+    pipeline needs the scorer to optimize.
+    """
+    from happypose_tpu.lib3d.so3_grid import load_SO3_grid
+
+    grid_R = jnp.asarray(load_SO3_grid(so3_grid_size))  # [M, 3, 3]
+
+    def loss_fn(variables, batch: PoseTrainingBatch, rng):
+        B = batch.TCO_gt.shape[0]
+        n_hyp = n_hypotheses
+        inst0 = meshes.select(batch.obj_ids)
+        hyp_TCO, labels, ang = sample_grid_hypotheses(
+            rng, batch.TCO_gt, inst0.symmetries, inst0.symmetries_mask,
+            grid_R, n_hyp, euler_deg_std=euler_deg_std, trans_std=trans_std,
+            rot_label_thresh_deg=rot_label_thresh_deg,
+        )
+
+        flat = hyp_TCO.reshape(B * n_hyp, 4, 4)
+        rep = lambda x: jnp.repeat(x, n_hyp, axis=0)
+        inst = meshes.select(rep(batch.obj_ids))
+        out, new_state = model.apply(
+            variables,
+            rep(batch.images),
+            rep(batch.K),
+            rep(batch.obj_ids),
+            flat,
+            assets,
+            inst,
+            n_iterations=1,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        logits = out.renderings_logits[0, :, 0].reshape(B, n_hyp)
+        loss = coarse_classification_loss(logits, labels)
+        acc = jnp.mean(((logits > 0) == (labels > 0.5)).astype(jnp.float32))
+        # the metric the pipeline cares about: does the best-scored
+        # hypothesis lie within the threshold?
+        top1 = jnp.take_along_axis(
+            ang, jnp.argmax(logits, axis=1)[:, None], axis=1
+        )[:, 0]
+        top1_ok = jnp.mean(
+            (top1 < jnp.deg2rad(rot_label_thresh_deg)).astype(jnp.float32)
+        )
+        return loss, (
+            {"coarse_acc": acc, "coarse_top1_within_thresh": top1_ok},
+            new_state["batch_stats"],
+        )
+
+    return loss_fn

@@ -143,6 +143,72 @@ def test_coarse_training_step(world):
     assert "coarse_acc" in metrics
 
 
+def test_grid_hypothesis_sampling_labels(world):
+    """Grid-negative sampling: shared translation across hypotheses, labels
+    = symmetry-aware angle < threshold, slot 0 near gt."""
+    from happypose_tpu.lib3d.so3_grid import load_SO3_grid
+    from happypose_tpu.training.forward_loss import sample_grid_hypotheses
+
+    db, assets, bm, K1 = world
+    batch = make_synth_batch(
+        jax.random.PRNGKey(0), assets, K1, n_objects=2, batch_size=4,
+        resolution=(120, 160),
+    )
+    inst = bm.select(batch.obj_ids)
+    grid = jnp.asarray(load_SO3_grid(72))
+    hyp, labels, ang = sample_grid_hypotheses(
+        jax.random.PRNGKey(3), batch.TCO_gt, inst.symmetries,
+        inst.symmetries_mask, grid, n_hypotheses=6,
+    )
+    hyp, labels, ang = np.asarray(hyp), np.asarray(labels), np.asarray(ang)
+    assert hyp.shape == (4, 6, 4, 4)
+    # every hypothesis shares slot 0's translation (no translation shortcut)
+    np.testing.assert_allclose(
+        hyp[:, :, :3, 3], np.broadcast_to(hyp[:, :1, :3, 3], (4, 6, 3)),
+        atol=1e-6,
+    )
+    # labels consistent with the angles
+    np.testing.assert_array_equal(labels, (ang < np.deg2rad(30.0)))
+    # slot 0 is the noised gt: angle stddev 15deg/axis -> nearly always
+    # below 90deg, usually below 45
+    assert (ang[:, 0] < np.deg2rad(90.0)).all()
+    # negative rotations are genuine grid members
+    d = np.einsum("bnji,mji->bnm", hyp[:, 1:, :3, :3], np.asarray(grid))
+    assert np.isclose(d.max(axis=-1), 3.0, atol=1e-3).all()
+
+
+@pytest.mark.slow
+def test_coarse_grid_loss_step(world):
+    """One grad step of the grid-negative coarse loss (full model)."""
+    from happypose_tpu.training.forward_loss import make_coarse_grid_loss_fn
+
+    db, assets, bm, K1 = world
+    cfg = PosePredictorConfig(
+        backbone="wide_resnet18", render_size=(60, 80), renderer="reference",
+        predict_pose_update=False, predict_rendered_views_logits=True,
+    )
+    model = PosePredictor(cfg)
+    loss_fn = make_coarse_grid_loss_fn(
+        model, assets, bm, n_hypotheses=4, so3_grid_size=72
+    )
+    batch = make_synth_batch(
+        jax.random.PRNGKey(0), assets, K1, n_objects=2, batch_size=2,
+        resolution=(120, 160),
+    )
+    inst = bm.select(batch.obj_ids)
+    variables = model.init(
+        jax.random.PRNGKey(1), batch.images, batch.K, batch.obj_ids,
+        batch.TCO_gt, assets, inst,
+    )
+    (loss, (metrics, _)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(variables, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    assert "coarse_top1_within_thresh" in metrics
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+
+
 @pytest.mark.slow
 def test_data_parallel_train_step_8_devices(world):
     """Full dp train step over the virtual 8-device CPU mesh: shard batch,
