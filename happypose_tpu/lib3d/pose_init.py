@@ -86,15 +86,20 @@ def TCO_init_from_boxes_autodepth_with_R(
     bb_c = (boxes_2d[:, 0:2] + boxes_2d[:, 2:4]) / 2
     xy0 = (bb_c - cxcy) * z_guess / fxfy
 
-    TCO = jnp.broadcast_to(_ZUP.astype(dtype), (bsz, 4, 4))
-    TCO = TCO.at[:, :3, :3].set(R)
-    TCO = TCO.at[:, 0:2, 3].set(xy0)
+    # build poses by concatenation, NOT .at[].set() into a broadcast_to
+    # constant: that scatter pattern miscompiled under jit on CPU XLA
+    # (finite set values came out inf — round-5 finding)
+    from happypose_tpu.lib3d.transforms import make_T
+
+    t0 = jnp.concatenate(
+        [xy0, jnp.full((bsz, 1), z_guess, dtype)], axis=-1
+    )
+    TCO = make_T(jnp.broadcast_to(R, (bsz, 3, 3)), t0, dtype=dtype)
 
     z = _autodepth(TCO, boxes_2d, model_points_3d, K, points_mask)
     xy = (bb_c - cxcy) * z[:, None] / fxfy
-    TCO = TCO.at[:, 0:2, 3].set(xy)
-    TCO = TCO.at[:, 2, 3].set(z)
-    return TCO
+    t = jnp.concatenate([xy, z[:, None]], axis=-1)
+    return make_T(jnp.broadcast_to(R, (bsz, 3, 3)), t, dtype=dtype)
 
 
 def TCO_init_from_boxes_zup_autodepth(

@@ -38,6 +38,13 @@ def main(argv=None) -> int:
                    help="BOP models dir (required with --split-dir)")
     p.add_argument("--out", type=Path, default=None,
                    help="also write the summary json here")
+    p.add_argument("--init-mode", choices=["noise", "grid"], default="noise",
+                   help="initial poses: gt + training noise (the training "
+                        "distribution) or nearest-SO(3)-grid rotation with "
+                        "autodepth translation from the projected gt bbox "
+                        "(the coarse->refiner hand-off distribution the "
+                        "pipeline actually feeds)")
+    p.add_argument("--so3-grid", type=int, default=576)
     args = p.parse_args(argv)
 
     import jax
@@ -120,10 +127,42 @@ def main(argv=None) -> int:
         ),
     }
 
+    grid_R = None
+    if args.init_mode == "grid":
+        from happypose_tpu.lib3d.so3_grid import load_SO3_grid
+
+        grid_R = jnp.asarray(load_SO3_grid(args.so3_grid))
+
     @jax.jit
     def refine(batch, rng):
-        TCO_init = add_pose_noise(rng, batch.TCO_gt)
         inst = bm.select(batch.obj_ids)
+        if args.init_mode == "grid":
+            from happypose_tpu.lib3d.pose_init import (
+                TCO_init_from_boxes_autodepth_with_R,
+            )
+            from happypose_tpu.lib3d.transforms import transform_pts
+
+            # nearest grid rotation = the best hypothesis the coarse stage
+            # can hand the refiner (plain angle, so the before/after
+            # geodesic metrics below stay directly interpretable)
+            tr = jnp.einsum("mji,bji->bm", grid_R, batch.TCO_gt[:, :3, :3])
+            ang = jnp.arccos(jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0))  # [B, M]
+            R_init = grid_R[jnp.argmin(ang, axis=-1)]
+            # autodepth translation from the projected gt bbox
+            pts_c = transform_pts(batch.TCO_gt, inst.points)  # [B, P, 3]
+            uv = jnp.einsum("bij,bpj->bpi", batch.K, pts_c)
+            uv = uv[..., :2] / jnp.maximum(uv[..., 2:3], 1e-6)
+            big = 1e6
+            mask = inst.points_mask[..., None]
+            boxes = jnp.concatenate([
+                jnp.min(jnp.where(mask, uv, big), axis=1),
+                jnp.max(jnp.where(mask, uv, -big), axis=1),
+            ], axis=-1)
+            TCO_init = TCO_init_from_boxes_autodepth_with_R(
+                boxes, inst.points, batch.K, R_init, inst.points_mask
+            )
+        else:
+            TCO_init = add_pose_noise(rng, batch.TCO_gt)
         out = model.apply(
             variables, batch.images, batch.K, batch.obj_ids, TCO_init,
             assets, inst, n_iterations=args.n_iterations,
@@ -169,6 +208,7 @@ def main(argv=None) -> int:
     summary["n_samples"] = args.n_batches * args.batch_size
     summary["n_iterations"] = args.n_iterations
     summary["data"] = str(args.split_dir) if args.split_dir else "synth"
+    summary["init_mode"] = args.init_mode
     logger.info(json.dumps(summary, indent=1))
     (args.run_dir / "refiner_eval.json").write_text(json.dumps(summary))
     if args.out is not None:
